@@ -1,0 +1,341 @@
+"""Pure-numpy image codecs + perceptual hash.
+
+The sandbox has no PIL/imageio/scipy, and ``BASELINE.json.input_hint``
+requires per-row invariants "decoded pixels allclose (PSNR>=40dB for
+lossy) + caption byte-equal", so all four formats are implemented here
+from their public specifications:
+
+- ``ppm``  — binary P6 (netpbm spec), lossless
+- ``bmp``  — 24-bit BI_RGB Windows bitmap (bottom-up, 4-byte row pad), lossless
+- ``png``  — PNG (RFC 2083): 8-bit RGB, zlib IDAT, filters 0-4 on decode,
+             filter 0 on encode; CRC-checked chunks
+- ``dct``  — our own lossy codec: 8x8 block DCT-II + uniform quantization +
+             zlib, tuned for PSNR >= 40 dB (the north-rule gate)
+
+Everything operates on uint8 arrays of shape (h, w, 3) and is vectorized;
+decode of a batch happens inside ``mapInArrow`` (see
+``gjspark/operators/multimodal.py``).
+
+The reference repo has no image path at all (it is a GeoJSON importer);
+this module exists for the graft-cell image payload.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PPM (binary P6)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, whitespace-separated w h maxval, single whitespace, raster
+    parts = []
+    idx = 2
+    while len(parts) < 3:
+        while idx < len(data) and data[idx : idx + 1].isspace():
+            idx += 1
+        if data[idx : idx + 1] == b"#":  # comment to EOL
+            idx = data.index(b"\n", idx) + 1
+            continue
+        start = idx
+        while idx < len(data) and not data[idx : idx + 1].isspace():
+            idx += 1
+        parts.append(int(data[start:idx]))
+    idx += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=idx).reshape(
+        h, w, 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = img[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
+    if pad:
+        padded = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+        padded[:, :row_bytes] = rows.reshape(h, row_bytes)
+        body = padded.tobytes()
+    else:
+        body = rows.tobytes()
+    return header + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit BI_RGB supported")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1])  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB, filters 0-4)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type None per scanline
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), level)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predict(a, b, c):
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)).astype(
+        np.uint8
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    idx = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while idx < len(data):
+        (length,) = struct.unpack_from(">I", data, idx)
+        tag = data[idx + 4 : idx + 8]
+        payload = data[idx + 8 : idx + 8 + length]
+        crc = struct.unpack_from(">I", data, idx + 8 + length)[0]
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        idx += 12 + length
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    bpp = 3
+    stride = 1 + w * bpp
+    raw = raw.reshape(h, stride)
+    ftypes = raw[:, 0]
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    if (ftypes == 0).all():  # fast path (our encoder)
+        out[:] = raw[:, 1:]
+        return out.reshape(h, w, 3)
+    for r in range(h):  # general path: row-sequential, vectorized within row
+        line = raw[r, 1:].astype(np.uint8).copy()
+        ft = ftypes[r]
+        prior = out[r - 1] if r > 0 else np.zeros(w * bpp, dtype=np.uint8)
+        if ft == 0:
+            out[r] = line
+        elif ft == 1:  # Sub
+            acc = line.reshape(w, bpp).astype(np.int64)
+            np.cumsum(acc, axis=0, out=acc)
+            out[r] = (acc % 256).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            out[r] = line + prior
+        elif ft == 3:  # Average
+            cur = np.zeros(w * bpp, dtype=np.uint8)
+            for x in range(w * bpp):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(line[x]) + ((left + int(prior[x])) >> 1)) & 0xFF
+            out[r] = cur
+        elif ft == 4:  # Paeth
+            cur = np.zeros(w * bpp, dtype=np.uint8)
+            for x in range(w * bpp):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+            out[r] = cur
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+    return out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# DCT lossy codec (ours): 8x8 DCT-II blocks, uniform quantization, zlib
+# ---------------------------------------------------------------------------
+
+_DCT_MAGIC = b"GJD1"
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_D8 = _dct_matrix(8)
+_D8T = _D8.T
+
+
+def _blockify(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = chan.shape
+    ph, pw = (8 - h % 8) % 8, (8 - w % 8) % 8
+    padded = np.pad(chan, ((0, ph), (0, pw)), mode="edge")
+    H, W = padded.shape
+    blocks = padded.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    return blocks.reshape(-1, 8, 8), H, W
+
+
+def encode_dct(img: np.ndarray, q: int = 4) -> bytes:
+    """Lossy encode. q=4 keeps PSNR well above 40 dB."""
+    h, w, c = img.shape
+    payload = bytearray()
+    for ch in range(c):
+        blocks, H, W = _blockify(img[:, :, ch].astype(np.float64) - 128.0)
+        coeff = _D8 @ blocks @ _D8T
+        quant = np.round(coeff / q).astype(np.int16)
+        payload += quant.tobytes()
+    body = zlib.compress(bytes(payload), 6)
+    return _DCT_MAGIC + struct.pack("<HHBB", w, h, c, q) + body
+
+
+def decode_dct(data: bytes) -> np.ndarray:
+    if data[:4] != _DCT_MAGIC:
+        raise ValueError("not a GJD1 DCT stream")
+    w, h, c, q = struct.unpack_from("<HHBB", data, 4)
+    raw = zlib.decompress(data[10:])
+    H, W = ((h + 7) & ~7), ((w + 7) & ~7)
+    n_blocks = (H // 8) * (W // 8)
+    out = np.empty((h, w, c), dtype=np.uint8)
+    per_chan = n_blocks * 64 * 2
+    for ch in range(c):
+        quant = np.frombuffer(
+            raw, dtype=np.int16, count=n_blocks * 64, offset=ch * per_chan
+        ).reshape(-1, 8, 8)
+        blocks = _D8T @ (quant.astype(np.float64) * q) @ _D8
+        grid = blocks.reshape(H // 8, W // 8, 8, 8).transpose(0, 2, 1, 3).reshape(H, W)
+        out[:, :, ch] = np.clip(np.round(grid + 128.0), 0, 255).astype(np.uint8)[
+            :h, :w
+        ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dispatch + metrics + phash
+# ---------------------------------------------------------------------------
+
+_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png, "dct": encode_dct}
+_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png, "dct": decode_dct}
+LOSSLESS = {"ppm", "bmp", "png"}
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](img)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    return _DECODERS[fmt](bytes(data))
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(255.0**2 / mse))
+
+
+_D32 = _dct_matrix(32)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale -> 32x32 block-mean resize -> 2D
+    DCT -> top-left 8x8 (minus DC) median-thresholded."""
+    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    small = np.empty((32, 32))
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = gray.cumsum(0).cumsum(1)
+    for r in range(32):
+        area_h = ye[r] - ys[r] if ye[r] > ys[r] else 1
+        for c in range(32):
+            area_w = xe[c] - xs[c] if xe[c] > xs[c] else 1
+            y0, y1, x0, x1 = ys[r], max(ye[r], ys[r] + 1), xs[c], max(xe[c], xs[c] + 1)
+            s = (
+                integral[y1, x1]
+                - integral[y0, x1]
+                - integral[y1, x0]
+                + integral[y0, x0]
+            )
+            small[r, c] = s / (area_h * area_w)
+    coeff = _D32 @ small @ _D32.T
+    block = coeff[:8, :8].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = (block > med).astype(np.uint64)
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out.view(np.int64))
+
+
+def phash64_batch(imgs: list[np.ndarray]) -> np.ndarray:
+    return np.array([phash64(im) for im in imgs], dtype=np.int64)

@@ -1,0 +1,195 @@
+"""S2 cell indexing in pure numpy (vectorized).
+
+From-scratch implementation of the public S2 geometry scheme
+(s2geometry.io/devguide/s2cell_hierarchy): lat/lng -> unit-sphere XYZ ->
+cube face (6 faces, largest-|component| wins) -> (u,v) gnomonic face
+coords -> quadratic s/t transform -> discrete (i,j) at level 30 ->
+Hilbert-curve position -> 64-bit cell id
+``[face:3][hilbert pos:2*level][1][zeros]``.
+
+Not in the reference repo (it has no spatial index at all — per-feature
+linear scans, ``geojson/GeoJsonConverter.java:185-196``); required by the
+north rule for cell-equi-join prefilters at 10^12-row scale.
+
+No s2 library exists in this sandbox; invariants (containment, parent
+nesting, center round-trip, id well-formedness) are tested in
+``tests/test_cells.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_LEVEL = 30
+
+
+def latlng_to_xyz(lat_deg: np.ndarray, lng_deg: np.ndarray):
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    cos_lat = np.cos(lat)
+    return cos_lat * np.cos(lng), cos_lat * np.sin(lng), np.sin(lat)
+
+
+def xyz_to_face_uv(x, y, z):
+    """Largest-axis cube-face assignment + gnomonic (u,v) on that face."""
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (uf, vf, wf) in enumerate(
+        [
+            (lambda: y / x, lambda: z / x, None),  # face 0: +x
+            (lambda: -x / y, lambda: z / y, None),  # face 1: +y
+            (lambda: -x / z, lambda: -y / z, None),  # face 2: +z
+            (lambda: z / x, lambda: y / x, None),  # face 3: -x
+            (lambda: z / y, lambda: -x / y, None),  # face 4: -y
+            (lambda: -y / z, lambda: -x / z, None),  # face 5: -z
+        ]
+    ):
+        m = face == f
+        if m.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u[m] = uf()[m]
+                v[m] = vf()[m]
+    return face, u, v
+
+
+def face_uv_to_xyz(face, u, v):
+    face = np.asarray(face)
+    u = np.asarray(u, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    one = np.ones_like(u)
+    xyz = np.empty((3,) + u.shape, dtype=np.float64)
+    specs = [
+        (one, u, v),  # face 0
+        (-u, one, v),  # face 1
+        (-u, -v, one),  # face 2
+        (-one, -v, -u),  # face 3
+        (v, -one, -u),  # face 4
+        (v, u, -one),  # face 5
+    ]
+    for f, (xx, yy, zz) in enumerate(specs):
+        m = face == f
+        if m.any():
+            xyz[0][m], xyz[1][m], xyz[2][m] = xx[m], yy[m], zz[m]
+    norm = np.sqrt((xyz**2).sum(axis=0))
+    return xyz[0] / norm, xyz[1] / norm, xyz[2] / norm
+
+
+def uv_to_st(u):
+    """Quadratic projection (the public S2 default)."""
+    u = np.asarray(u, dtype=np.float64)
+    with np.errstate(invalid="ignore"):
+        return np.where(u >= 0, 0.5 * np.sqrt(1 + 3 * u), 1 - 0.5 * np.sqrt(1 - 3 * u))
+
+
+def st_to_uv(s):
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5, (4 * s * s - 1) / 3.0, (1 - 4 * (1 - s) ** 2) / 3.0)
+
+
+def _ij_to_hilbert(i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized (i,j) -> Hilbert-curve distance at ``level`` (2 bits/step).
+
+    Classic bitwise Hilbert conversion (Wikipedia "Hilbert curve" xy2d),
+    looped over ``level`` bit positions with array ops — O(level) vector
+    passes, no per-row Python.
+    """
+    i = i.astype(np.uint64).copy()
+    j = j.astype(np.uint64).copy()
+    d = np.zeros_like(i, dtype=np.uint64)
+    s = np.uint64(1) << np.uint64(level - 1)
+    one = np.uint64(1)
+    while s > 0:
+        rx = ((i & s) > 0).astype(np.uint64)
+        ry = ((j & s) > 0).astype(np.uint64)
+        d += s * s * ((np.uint64(3) * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        i_f = np.where(flip, s - one - i, i)
+        j_f = np.where(flip, s - one - j, j)
+        i, j = np.where(swap, j_f, i_f), np.where(swap, i_f, j_f)
+        s >>= one
+    return d
+
+
+def _hilbert_to_ij(d: np.ndarray, level: int) -> tuple[np.ndarray, np.ndarray]:
+    d = d.astype(np.uint64).copy()
+    n = np.uint64(1) << np.uint64(level)
+    i = np.zeros_like(d)
+    j = np.zeros_like(d)
+    s = np.uint64(1)
+    one = np.uint64(1)
+    t = d.copy()
+    while s < n:
+        rx = one & (t // np.uint64(2))
+        ry = one & (t ^ rx)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        i_f = np.where(flip, s - one - i, i)
+        j_f = np.where(flip, s - one - j, j)
+        i, j = np.where(swap, j_f, i_f), np.where(swap, i_f, j_f)
+        i = i + s * rx
+        j = j + s * ry
+        t //= np.uint64(4)
+        s <<= one
+    return i, j
+
+
+def s2_cell(lat_deg, lng_deg, level: int = 16) -> np.ndarray:
+    """lat/lng arrays -> int64 S2-style cell ids at ``level``."""
+    if not (0 < level <= MAX_LEVEL):
+        raise ValueError("level must be in (0, 30]")
+    x, y, z = latlng_to_xyz(lat_deg, lng_deg)
+    face, u, v = xyz_to_face_uv(x, y, z)
+    n = 1 << level
+    i = np.clip((uv_to_st(u) * n).astype(np.int64), 0, n - 1)
+    j = np.clip((uv_to_st(v) * n).astype(np.int64), 0, n - 1)
+    pos = _ij_to_hilbert(i, j, level)
+    shift = np.uint64(2 * (MAX_LEVEL - level))
+    cell = (
+        (face.astype(np.uint64) << np.uint64(61))
+        | (pos.astype(np.uint64) << np.uint64(1) << shift)
+        | (np.uint64(1) << shift)
+    )
+    return cell.view(np.int64)
+
+
+def s2_cell_level(cell: np.ndarray) -> np.ndarray:
+    """Recover level from the trailing-one bit position."""
+    c = np.asarray(cell).view(np.uint64)
+    lsb_pos = np.zeros(c.shape, dtype=np.int64)
+    tmp = c & (~c + np.uint64(1))  # lowest set bit
+    for b in range(61):
+        lsb_pos = np.where(tmp == (np.uint64(1) << np.uint64(b)), b, lsb_pos)
+    return MAX_LEVEL - lsb_pos // 2
+
+
+def s2_parent(cell: np.ndarray, level: int) -> np.ndarray:
+    """Truncate to ancestor at ``level`` (pure bit math, like public S2)."""
+    c = np.asarray(cell).view(np.uint64)
+    new_lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return ((c & (~new_lsb + np.uint64(1)) & ~(new_lsb - np.uint64(1))) | new_lsb).view(
+        np.int64
+    )
+
+
+def s2_cell_center(cell: np.ndarray, level: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id -> (lat_deg, lng_deg) of the cell center."""
+    c = np.asarray(cell).view(np.uint64)
+    face = (c >> np.uint64(61)).astype(np.int64)
+    shift = np.uint64(2 * (MAX_LEVEL - level) + 1)
+    pos = (c >> shift).astype(np.uint64)
+    i, j = _hilbert_to_ij(pos, level)
+    n = float(1 << level)
+    s = (i.astype(np.float64) + 0.5) / n
+    t = (j.astype(np.float64) + 0.5) / n
+    x, y, z = face_uv_to_xyz(face, st_to_uv(s), st_to_uv(t))
+    lat = np.degrees(np.arcsin(np.clip(z, -1, 1)))
+    lng = np.degrees(np.arctan2(y, x))
+    return lat, lng
