@@ -1,0 +1,542 @@
+"""Deterministic fixture generator (seed 42 everywhere, FIXTURES.md).
+
+Produces, under ``<repo>/fixtures_data/``:
+
+- ``features_nuts.geojson``        NUTS-style polygon FeatureCollection
+- ``features_points_25832.geojson``projected points incl. the reference's
+                                   golden CRS pair (``UtilsTest.java:31-48``)
+- ``points.csv``                   CSV source w/ ';', comments, comma decimals
+- ``entity_snapshot.parquet``      pre-existing Locations for find-or-create
+- ``observations_fixture.parquet`` validator truth-table input
+- ``images_sf_unit.parquet``  (1k) / ``images_sf_e2e.parquet`` (50k)
+  Iceberg-shaped image table (input_hint schema + lat/lon test columns)
+- goldens from a single-process numpy oracle:
+  ``expected_cells.parquet``, ``expected_pip.parquet``,
+  ``expected_knn.parquet``, ``expected_images.parquet``
+
+Everything is a pure function of the seed; ``ensure_fixtures`` is
+idempotent (guarded by a VERSION stamp).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gjspark.functions import codecs as C
+from gjspark.functions import geometry as G
+from gjspark.functions import h3x, s2
+from gjspark.functions.crs import tm_forward
+
+VERSION = "v8"
+SEED = 42
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+DEFAULT_DIR = os.path.join(REPO_ROOT, "fixtures_data")
+
+# Geographic frame: Central Europe box (keeps EPSG:25832 meaningful)
+LON_MIN, LON_MAX, LAT_MIN, LAT_MAX = 6.0, 14.0, 47.5, 54.5
+KNN_RES = 8  # engine's default kNN cell resolution
+N_FEATURES = 200
+N_IMAGES_UNIT = 1_000
+N_IMAGES_E2E = 50_000
+
+
+# ---------------------------------------------------------------------------
+# Feature polygons
+# ---------------------------------------------------------------------------
+
+
+def _polygon_coords(rng, cx, cy, kind: str):
+    """One polygon (list of rings) around (cx, cy)."""
+    if kind == "convex":
+        n = int(rng.integers(5, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.08, 0.25)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * 0.7 * np.sin(ang)])
+    elif kind == "concave":
+        n = int(rng.integers(5, 8))
+        ang = np.linspace(0, 2 * np.pi, 2 * n, endpoint=False)
+        r = np.where(np.arange(2 * n) % 2 == 0, rng.uniform(0.15, 0.3), rng.uniform(0.05, 0.1))
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * 0.7 * np.sin(ang)])
+    else:
+        ang = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        r = rng.uniform(0.12, 0.28)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * 0.7 * np.sin(ang)])
+    ring = np.vstack([ring, ring[:1]])
+    rings = [ring]
+    if kind == "hole":
+        hr = 0.35 * (ring[:, 0].max() - cx)
+        hang = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+        hole = np.column_stack([cx + hr * np.cos(hang), cy + hr * 0.7 * np.sin(hang)])
+        rings.append(np.vstack([hole, hole[:1]]))
+    return rings
+
+
+def make_features(n: int = N_FEATURES):
+    """-> list of GeoJSON Feature dicts (NUTS-style, FIXTURES.md §1.1)."""
+    rng = np.random.default_rng(SEED)
+    kinds = ["convex", "concave", "hole", "multi"]
+    cntr = ["DE", "FR", "NL", "AT"]
+    feats = []
+    # lay centroids on a jittered grid to limit overlap
+    gx = int(np.ceil(np.sqrt(n * (LON_MAX - LON_MIN) / (LAT_MAX - LAT_MIN))))
+    gy = int(np.ceil(n / gx))
+    cells = [(ix, iy) for ix in range(gx) for iy in range(gy)][:n]
+    for k, (ix, iy) in enumerate(cells):
+        cx = LON_MIN + (ix + 0.5) * (LON_MAX - LON_MIN) / gx + rng.uniform(-0.05, 0.05)
+        cy = LAT_MIN + (iy + 0.5) * (LAT_MAX - LAT_MIN) / gy + rng.uniform(-0.05, 0.05)
+        kind = kinds[k % len(kinds)]
+        if kind == "multi":
+            rings_a = _polygon_coords(rng, cx - 0.12, cy, "convex")
+            rings_b = _polygon_coords(rng, cx + 0.18, cy + 0.1, "convex")
+            geometry = {
+                "type": "MultiPolygon",
+                "coordinates": [
+                    [r.tolist() for r in rings_a],
+                    [r.tolist() for r in rings_b],
+                ],
+            }
+        else:
+            rings = _polygon_coords(rng, cx, cy, kind)
+            geometry = {"type": "Polygon", "coordinates": [r.tolist() for r in rings]}
+        props = {
+            "NUTS_ID": f"DE1{k:03d}",
+            "NUTS_NAME": f"Region {k}",
+            "NAME_LATN": f"Region {k}",
+            "LEVL_CODE": int(k % 4),
+            "CNTR_CODE": cntr[k % 4],
+            "type": "NUTS",
+            "nested": {"a": {"b": int(k * 7)}},
+            "arr": [int(k), f"s{k}"],
+        }
+        # edge cases: ~5 features each
+        if k % 40 == 1:
+            props["empty"] = ""
+        if k % 40 == 2:
+            props["weird~key"] = "tilde"
+            props["weird/key"] = "slash"
+        if k % 40 == 3:
+            props["NUTS_NAME"] = f'Region "{k}"\nline2'
+        if k % 40 == 4:
+            del props["NAME_LATN"]  # missing property -> template default
+        feats.append(
+            {
+                "type": "Feature",
+                "id": f"NUTS-{k}",
+                "geometry": geometry,
+                "properties": props,
+            }
+        )
+    return feats
+
+
+def feature_centroids(feats):
+    """Deterministic 'Location point' per feature: mean of shell vertices of
+    the first polygon (matches the oracle + engine definition)."""
+    out = []
+    for f in feats:
+        g = f["geometry"]
+        if g["type"] == "Polygon":
+            shell = np.array(g["coordinates"][0])
+        else:
+            shell = np.array(g["coordinates"][0][0])
+        out.append(shell[:-1].mean(axis=0))  # drop closing vertex
+    return np.array(out)  # (n, 2) lon/lat
+
+
+# ---------------------------------------------------------------------------
+# Image table
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+).split()
+
+W_CYCLE = [16, 32, 64, 128]
+H_CYCLE = [16, 24, 64, 96]
+FMT_CYCLE = ["ppm", "bmp", "png", "dct"]
+
+
+def make_image(i: int) -> np.ndarray:
+    """Pure function i -> (h, w, 3) uint8 gradient+checker pattern."""
+    w = W_CYCLE[i % 4]
+    h = H_CYCLE[(i // 4) % 4]
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (xx * 255 // max(w - 1, 1) + i * 37) % 256
+    g = (yy * 255 // max(h - 1, 1) + i * 11) % 256
+    b = ((xx // 4 + yy // 4 + i) % 2) * 200 + 27
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def caption_for(i: int) -> str:
+    words = " ".join(_WORDS[(i + k) % len(_WORDS)] for k in range(3))
+    return f"caption {i} {words}"
+
+
+def make_images_table(n: int):
+    """-> dict of columns for the Iceberg-shaped images table."""
+    rng = np.random.default_rng(SEED + 1)
+    feats = make_features()
+    cents = feature_centroids(feats)
+    # placement: 80% clustered at polygon centroids, 10% hot cell, 10% uniform
+    kind = rng.choice(3, size=n, p=[0.80, 0.10, 0.10])
+    fidx = rng.integers(0, len(cents), size=n)
+    lon = np.empty(n)
+    lat = np.empty(n)
+    cluster = kind == 0
+    lon[cluster] = cents[fidx[cluster], 0] + rng.normal(0, 0.05, cluster.sum())
+    lat[cluster] = cents[fidx[cluster], 1] + rng.normal(0, 0.035, cluster.sum())
+    hot = kind == 1  # one hot H3 res-7 cell worth of points (skew driver)
+    hot_center = cents[7]
+    lon[hot] = hot_center[0] + rng.normal(0, 0.004, hot.sum())
+    lat[hot] = hot_center[1] + rng.normal(0, 0.003, hot.sum())
+    unif = kind == 2
+    lon[unif] = rng.uniform(LON_MIN - 1, LON_MAX + 1, unif.sum())
+    lat[unif] = rng.uniform(LAT_MIN - 1, LAT_MAX + 1, unif.sum())
+
+    ids, blobs, ws, hs, fmts, caps = [], [], [], [], [], []
+    imgs = []
+    for i in range(n):
+        img = make_image(i)
+        imgs.append(img)
+        fmt = FMT_CYCLE[i % 4]
+        ids.append(f"img-{i:08d}")
+        blobs.append(C.encode_image(img, fmt))
+        hs.append(img.shape[0])
+        ws.append(img.shape[1])
+        fmts.append(fmt)
+        caps.append(caption_for(i))
+    phashes = C.phash64_batch(imgs)
+    return {
+        "image_id": ids,
+        "bytes": blobs,
+        "w": np.array(ws, dtype=np.int32),
+        "h": np.array(hs, dtype=np.int32),
+        "fmt": fmts,
+        "caption": caps,
+        "phash": phashes,
+        "lat": lat,
+        "lon": lon,
+    }
+
+
+def _images_schema():
+    return pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+            ("lat", pa.float64()),
+            ("lon", pa.float64()),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles (single-process numpy — the golden producers)
+# ---------------------------------------------------------------------------
+
+
+def oracle_cells(image_id, lat, lon):
+    cols = {"image_id": image_id}
+    for r in range(7, 13):
+        cols[f"h3_r{r}"] = h3x.h3_index(lat, lon, r)
+    cols["s2_cell"] = s2.s2_cell(lat, lon, 16)
+    return cols
+
+
+def oracle_pip(image_id, lat, lon, feats):
+    wkbs, ids = [], []
+    for f in feats:
+        g = f["geometry"]
+        if g["type"] == "Polygon":
+            wkbs.append(G.polygon_wkb([np.array(r) for r in g["coordinates"]]))
+        else:
+            wkbs.append(
+                G.multipolygon_wkb(
+                    [[np.array(r) for r in poly] for poly in g["coordinates"]]
+                )
+            )
+        ids.append(f["id"])
+    ps = G.PolygonSet(ids, wkbs)
+    pt, po = ps.match_points(np.asarray(lon), np.asarray(lat))
+    order = np.lexsort((po, pt))
+    return {
+        "image_id": [image_id[k] for k in pt[order]],
+        "feature_id": [ids[k] for k in po[order]],
+    }
+
+
+def oracle_knn(image_id, lat, lon, feats):
+    cents = feature_centroids(feats)  # (m, 2) lon/lat == Location points
+    ids = [f["id"] for f in feats]
+    lat = np.asarray(lat)
+    lon = np.asarray(lon)
+    n, m = len(lat), len(cents)
+    best_d = np.full(n, np.inf)
+    best_i = np.zeros(n, dtype=np.int64)
+    for j in range(m):  # m small; vectorize over points
+        d = G.haversine_m(lat, lon, cents[j, 1], cents[j, 0])
+        upd = (d < best_d) | ((d == best_d) & (j < best_i))
+        best_d = np.where(upd, d, best_d)
+        best_i = np.where(upd, j, best_i)
+    return {
+        "image_id": list(image_id),
+        "nearest_location_id": [ids[k] for k in best_i],
+        "dist_m": np.round(best_d, 3),
+    }
+
+
+def oracle_images(image_id, blobs, fmts):
+    """Decode invariants: crc32 of decoded pixels (lossless), PSNR vs the
+    regenerated source (lossy)."""
+    crcs, psnrs = [], []
+    for k, (b, f) in enumerate(zip(blobs, fmts)):
+        img = C.decode_image(b, f)
+        crcs.append(zlib.crc32(img.tobytes()) & 0x7FFFFFFF)
+        if f == "dct":
+            src = make_image(k)
+            psnrs.append(C.psnr(src, img))
+        else:
+            psnrs.append(float("inf"))
+    return {
+        "image_id": list(image_id),
+        "pix_crc32": np.array(crcs, dtype=np.int64),
+        "psnr": np.array(psnrs, dtype=np.float64),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Entity snapshot + observations (FIXTURES.md §1.4, §1.5)
+# ---------------------------------------------------------------------------
+
+
+def make_entity_snapshot(feats):
+    """Pre-existing 'server' Locations keyed `{type}-{NUTS_ID}`.
+
+    1/3 identical (no-op), 1/3 differing (diff-update), 1/3 absent
+    (create) + one duplicated key (ambiguity fail-fast,
+    ``utils/FrostUtils.java:646-648``).
+    """
+    rows = []
+    for k, f in enumerate(feats):
+        if k % 3 == 2:
+            continue  # absent -> create path
+        p = f["properties"]
+        key = f"{p['type']}-{p['NUTS_ID']}"
+        name = p["NUTS_NAME"]
+        desc = f"Area {p['NUTS_NAME']}"
+        props = {"lastUpdated": "2024-01-01", "source": "snapshot"}
+        if k % 3 == 1:  # differing
+            name = name + " (old)"
+            props["stale"] = "yes"
+        rows.append(
+            {
+                "location_id": f"loc-{k:05d}",
+                "cache_key": key,
+                "name": name,
+                "description": desc,
+                "properties_json": json.dumps(props, sort_keys=True),
+                "geometry_json": json.dumps(f["geometry"], sort_keys=True)
+                if k % 3 == 0
+                else json.dumps({"type": "Point", "coordinates": [0.0, 0.0]}),
+                "encoding_type": "application/geo+json",
+            }
+        )
+    # duplicated key for ambiguity check
+    dup = dict(rows[0])
+    dup["location_id"] = "loc-dup"
+    dup["cache_key"] = "NUTS-AMBIG"
+    dup2 = dict(dup)
+    dup2["location_id"] = "loc-dup2"
+    rows += [dup, dup2]
+    return rows
+
+
+def make_observations(n: int = 2000):
+    """Validator truth-table input (V2-V7)."""
+    rng = np.random.default_rng(SEED + 2)
+    base = np.datetime64("2024-03-01T00:00:00")
+    rows = []
+    for i in range(n):
+        ds = f"ds-{i % 20:03d}"
+        t = base + np.timedelta64(int(rng.integers(0, 90 * 24 * 3600)), "s")
+        interval = i % 10 == 3
+        rows.append(
+            {
+                "obs_id": f"obs-{i:06d}",
+                "ds_key": ds,
+                "t_start": t.astype("datetime64[us]").item(),
+                "t_end": (t + np.timedelta64(3600, "s")).astype("datetime64[us]").item()
+                if interval
+                else None,
+                "result": json.dumps(
+                    int(rng.integers(0, 100)) if i % 3 else [i % 7, "x"]
+                ),
+                "params_json": json.dumps(
+                    {"q": str(i % 5), "src": "gen"}, sort_keys=True
+                ),
+            }
+        )
+    # planted duplicates at equal phenomenonTime: same + different results
+    for j in range(50):
+        src = dict(rows[j * 7])
+        src["obs_id"] = f"obs-dup-{j:03d}"
+        if j % 2:
+            src["result"] = json.dumps("CHANGED")
+        rows.append(src)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# CSV + projected points (FIXTURES.md §1.2, §1.3)
+# ---------------------------------------------------------------------------
+
+
+def make_points_25832(n: int = 100):
+    rng = np.random.default_rng(SEED + 3)
+    lon = rng.uniform(6.5, 11.5, n - 1)
+    lat = rng.uniform(47.8, 54.2, n - 1)
+    e, no = tm_forward(lon, lat, 9.0)
+    feats = []
+    # golden pair from the reference's unit test, exact inputs
+    feats.append(
+        {
+            "type": "Feature",
+            "id": "P-GOLDEN",
+            "geometry": {"type": "Point", "coordinates": [350779.28125, 5815166.0]},
+            "properties": {"crs": "25832", "station": "golden"},
+        }
+    )
+    for k in range(n - 1):
+        feats.append(
+            {
+                "type": "Feature",
+                "id": f"P-{k:04d}",
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [float(e[k]), float(no[k])],
+                },
+                "properties": {"crs": "25832", "station": f"st-{k}"},
+            }
+        )
+    return feats
+
+
+def make_csv(n: int = 500) -> str:
+    rng = np.random.default_rng(SEED + 4)
+    lines = ["# synthetic stations (seed 42)", "name;easting;northing;crs;station_type;value;ts"]
+    lon = rng.uniform(6.5, 11.5, n)
+    lat = rng.uniform(47.8, 54.2, n)
+    e, no = tm_forward(lon, lat, 9.0)
+    for k in range(n):
+        val = f"{rng.uniform(0, 100):.1f}".replace(".", ",")  # comma decimals
+        east = f"{e[k]:.5f}".replace(".", ",")
+        lines.append(
+            f"S-{k:04d};{east};{no[k]:.5f};25832;air;{val};"
+            f"2024-03-{1 + k % 28:02d}T10:00:00Z"
+        )
+    return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# ensure_fixtures
+# ---------------------------------------------------------------------------
+
+
+def _write_parquet(path, cols, schema=None):
+    table = pa.table(cols, schema=schema)
+    pq.write_table(table, path)
+
+
+def ensure_fixtures(root: str = DEFAULT_DIR) -> str:
+    stamp = os.path.join(root, f".stamp-{VERSION}")
+    if os.path.exists(stamp):
+        return root
+    os.makedirs(root, exist_ok=True)
+
+    feats = make_features()
+    with open(os.path.join(root, "features_nuts.geojson"), "w") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+    pts = make_points_25832()
+    with open(os.path.join(root, "features_points_25832.geojson"), "w") as f:
+        json.dump({"type": "FeatureCollection", "features": pts}, f)
+
+    with open(os.path.join(root, "points.csv"), "w") as f:
+        f.write(make_csv())
+
+    snap = make_entity_snapshot(feats)
+    _write_parquet(
+        os.path.join(root, "entity_snapshot.parquet"),
+        {k: [r[k] for r in snap] for k in snap[0]},
+    )
+
+    obs = make_observations()
+    obs_cols = {k: [r[k] for r in obs] for k in obs[0]}
+    _write_parquet(
+        os.path.join(root, "observations_fixture.parquet"),
+        obs_cols,
+        schema=pa.schema(
+            [
+                ("obs_id", pa.string()),
+                ("ds_key", pa.string()),
+                ("t_start", pa.timestamp("us")),
+                ("t_end", pa.timestamp("us")),
+                ("result", pa.string()),
+                ("params_json", pa.string()),
+            ]
+        ),
+    )
+
+    for tag, n in (("sf_unit", N_IMAGES_UNIT), ("sf_e2e", N_IMAGES_E2E)):
+        cols = make_images_table(n)
+        _write_parquet(
+            os.path.join(root, f"images_{tag}.parquet"), cols, _images_schema()
+        )
+        if tag == "sf_e2e":
+            _write_parquet(
+                os.path.join(root, "expected_cells.parquet"),
+                oracle_cells(cols["image_id"], cols["lat"], cols["lon"]),
+            )
+            _write_parquet(
+                os.path.join(root, "expected_pip.parquet"),
+                oracle_pip(cols["image_id"], cols["lat"], cols["lon"], feats),
+            )
+            _write_parquet(
+                os.path.join(root, "expected_knn.parquet"),
+                oracle_knn(cols["image_id"], cols["lat"], cols["lon"], feats),
+            )
+            _write_parquet(
+                os.path.join(root, "expected_images.parquet"),
+                oracle_images(cols["image_id"], cols["bytes"], cols["fmt"]),
+            )
+
+    with open(stamp, "w") as f:
+        f.write(VERSION)
+    return root
+
+
+def ensure_bench_images(n: int, root: str = DEFAULT_DIR) -> str:
+    """Larger image table for bench runs (cached by size)."""
+    path = os.path.join(root, f"images_bench_{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        cols = make_images_table(n)
+        _write_parquet(path, cols, _images_schema())
+    return path
+
+
+if __name__ == "__main__":
+    print(ensure_fixtures())

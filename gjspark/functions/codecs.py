@@ -303,39 +303,58 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 _D32 = _dct_matrix(32)
 
 
-def phash64(img: np.ndarray) -> int:
-    """64-bit perceptual hash: grayscale -> 32x32 block-mean resize -> 2D
-    DCT -> top-left 8x8 (minus DC) median-thresholded."""
-    gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    h, w = gray.shape
-    ys = (np.arange(32) * h) // 32
-    xs = (np.arange(32) * w) // 32
-    ye = np.append(ys[1:], h)
-    xe = np.append(xs[1:], w)
-    small = np.empty((32, 32))
-    integral = np.zeros((h + 1, w + 1))
-    integral[1:, 1:] = gray.cumsum(0).cumsum(1)
-    for r in range(32):
-        area_h = ye[r] - ys[r] if ye[r] > ys[r] else 1
-        for c in range(32):
-            area_w = xe[c] - xs[c] if xe[c] > xs[c] else 1
-            y0, y1, x0, x1 = ys[r], max(ye[r], ys[r] + 1), xs[c], max(xe[c], xs[c] + 1)
-            s = (
-                integral[y1, x1]
-                - integral[y0, x1]
-                - integral[y1, x0]
-                + integral[y0, x0]
-            )
-            small[r, c] = s / (area_h * area_w)
+def _resize_matrix(src: int, dst: int = 32) -> np.ndarray:
+    """(dst, src) row-stochastic block-mean resampling matrix."""
+    edges = (np.arange(dst + 1) * src) / dst
+    m = np.zeros((dst, src))
+    for r in range(dst):
+        lo, hi = edges[r], edges[r + 1]
+        for c in range(int(np.floor(lo)), int(np.ceil(hi))):
+            m[r, c] = min(hi, c + 1) - max(lo, c)
+    return m / m.sum(axis=1, keepdims=True)
+
+
+_RESIZE_CACHE: dict[int, np.ndarray] = {}
+
+
+def _rm(n: int) -> np.ndarray:
+    if n not in _RESIZE_CACHE:
+        _RESIZE_CACHE[n] = _resize_matrix(n)
+    return _RESIZE_CACHE[n]
+
+
+def phash64_same_size(imgs: np.ndarray) -> np.ndarray:
+    """Vectorized phash for a stack of same-size images (n, h, w, 3).
+
+    ``phash64`` delegates here, so single-image and batch values are
+    bit-identical.
+    """
+    gray = imgs.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    n, h, w = gray.shape
+    small = _rm(h) @ gray @ _rm(w).T  # BLAS-broadcasted over n
     coeff = _D32 @ small @ _D32.T
-    block = coeff[:8, :8].flatten()[1:]  # drop DC
-    med = np.median(block)
-    bits = (block > med).astype(np.uint64)
-    out = np.uint64(0)
-    for b in bits:
-        out = (out << np.uint64(1)) | b
-    return int(out.view(np.int64))
+    block = coeff[:, :8, :8].reshape(n, 64)[:, 1:]
+    med = np.median(block, axis=1, keepdims=True)
+    bits = block > med
+    weights = (np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64))
+    out = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale -> 32x32 area-weighted resize ->
+    2D DCT -> top-left 8x8 (minus DC) median-thresholded."""
+    return int(phash64_same_size(img[None, ...])[0])
 
 
 def phash64_batch(imgs: list[np.ndarray]) -> np.ndarray:
-    return np.array([phash64(im) for im in imgs], dtype=np.int64)
+    """Batch phash for mixed-size images: group by shape, vectorize per
+    group (the hot path in ``mapInArrow`` decode stages)."""
+    out = np.empty(len(imgs), dtype=np.int64)
+    by_shape: dict[tuple, list[int]] = {}
+    for k, im in enumerate(imgs):
+        by_shape.setdefault(im.shape, []).append(k)
+    for shape, idxs in by_shape.items():
+        stack = np.stack([imgs[k] for k in idxs])
+        out[np.array(idxs)] = phash64_same_size(stack)
+    return out

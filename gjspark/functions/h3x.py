@@ -62,6 +62,21 @@ def _icosahedron_faces():
         (np.round(np.arctan2(centers[:, 1], centers[:, 0]), 9), np.round(centers[:, 2], 9))
     )
     centers = centers[key]
+    faces = [faces[k] for k in key]
+    # inward-oriented great-circle normals of each face's 3 edges (used for
+    # provable kNN accepts near face boundaries)
+    edge_normals = []
+    for (a, b, c), ctr in zip(faces, centers):
+        ns = []
+        for p, q in ((a, b), (b, c), (c, a)):
+            nvec = np.cross(v[p], v[q])
+            nvec /= np.linalg.norm(nvec)
+            if nvec @ ctr < 0:
+                nvec = -nvec
+            ns.append(nvec)
+        edge_normals.append(ns)
+    global _FACE_EDGE_N
+    _FACE_EDGE_N = np.array(edge_normals)  # (20, 3, 3)
     # local tangent axes per face (east = z-cross-c unless near pole)
     axes_e, axes_n = [], []
     for c in centers:
@@ -267,6 +282,21 @@ def h3_kring(cell: np.ndarray, k: int) -> np.ndarray:
     res_b = np.broadcast_to(res[:, None], i_all.shape)
     face_b = np.broadcast_to(face[:, None], i_all.shape)
     return pack(res_b, face_b, i_all, j_all)
+
+
+def face_boundary_margin_m(lat_deg, lng_deg) -> np.ndarray:
+    """Great-circle distance (meters) from each point to the nearest edge
+    of its own icosahedron face. Lattice k-rings never cross face edges, so
+    a kNN accept is only provable when the best distance also stays inside
+    this margin (see ``operators/spatial_join.knn_join``)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    p = np.stack([np.cos(lat) * np.cos(lng), np.cos(lat) * np.sin(lng), np.sin(lat)], 1)
+    face = np.argmax(p @ _FACE_C.T, axis=1)
+    normals = _FACE_EDGE_N[face]  # (n, 3, 3)
+    dots = np.einsum("nd,ned->ne", p, normals)
+    ang = np.arcsin(np.clip(dots, 0, 1)).min(axis=1)
+    return ang * 6371007.2
 
 
 def h3_edge_length_m(res: int) -> float:

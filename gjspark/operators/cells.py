@@ -1,0 +1,56 @@
+"""Cell-assignment operator: H3 res 7-12 + S2 columns (SURVEY.md §2.2
+P16/P17).
+
+One struct-returning vectorized pandas UDF computes all seven cell ids per
+Arrow batch — a single Python roundtrip instead of seven, ~7x less
+serialization. Everything else (joins, grouping on the new columns) stays
+JVM-side; at scale the cell column is the Iceberg partition/bucketing key
+so scans prune by cell for free.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from gjspark.functions import h3x, s2
+
+H3_RESOLUTIONS = (7, 8, 9, 10, 11, 12)
+S2_LEVEL = 16
+
+_CELL_STRUCT = T.StructType(
+    [T.StructField(f"h3_r{r}", T.LongType()) for r in H3_RESOLUTIONS]
+    + [T.StructField("s2_cell", T.LongType())]
+)
+
+
+@pandas_udf(_CELL_STRUCT)
+def _cell_struct(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+    la = lat.to_numpy(dtype=float)
+    lo = lon.to_numpy(dtype=float)
+    out = {f"h3_r{r}": h3x.h3_index(la, lo, r) for r in H3_RESOLUTIONS}
+    out["s2_cell"] = s2.s2_cell(la, lo, S2_LEVEL)
+    return pd.DataFrame(out)
+
+
+def with_cell_columns(
+    df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """Append h3_r7..h3_r12 + s2_cell columns."""
+    tmp = df.withColumn("__cells", _cell_struct(F.col(lat_col), F.col(lon_col)))
+    for f in _CELL_STRUCT.fields:
+        tmp = tmp.withColumn(f.name, F.col(f"__cells.{f.name}"))
+    return tmp.drop("__cells")
+
+
+def h3_index_udf(res: int):
+    @pandas_udf(T.LongType())
+    def _f(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            h3x.h3_index(lat.to_numpy(dtype=float), lon.to_numpy(dtype=float), res)
+        )
+
+    return _f

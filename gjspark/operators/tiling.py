@@ -1,0 +1,168 @@
+"""Raster<->vector tiling join with salted repartitioning for hot cells
+(J7, north rule).
+
+Pipeline: images (with a cell column) -> decode in ``mapInPandas`` ->
+explode into fixed-size pixel tiles -> per-cell aggregation. A cell
+histogram drives explicit skew salting: hot cells (the fixture plants ~10%
+of rows in one cell) get ``n_salt = next_pow2(count / target)`` salts;
+``salt = pmod(xxhash64(image_id), n_salt)`` spreads them, partial
+aggregates run per (cell, salt), and a second JVM-side ``groupBy(cell)``
+merges partials — outputs are provably identical to the unsalted plan
+because every per-cell statistic chosen is a commutative monoid (sums,
+counts, XOR of phashes, min/max). AQE skew-join handles residual skew; the
+explicit salt keeps the *Python UDF* stage balanced too, which AQE cannot
+split on its own.
+
+At 10^12-image scale the histogram itself is a cheap two-column
+``groupBy(cell).count()`` over the (pruned) cell column, and the salt map
+is broadcast — no driver-side data beyond (distinct hot cells).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gjspark.functions import codecs as C
+
+TILE = 16  # pixels per tile edge
+
+TILES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("tile_w", T.IntegerType()),
+        T.StructField("tile_h", T.IntegerType()),
+        T.StructField("tile_mean", T.DoubleType()),
+        T.StructField("tile", T.BinaryType()),
+    ]
+)
+
+
+def explode_tiles(
+    images: DataFrame, cell_col: str = "h3_r7", with_bytes: bool = True
+) -> DataFrame:
+    """Decode each image and emit one row per TILE x TILE pixel tile."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_id, rows_cell, tx, ty, tw, th, tmean, tbytes = (
+                [], [], [], [], [], [], [], [],
+            )
+            for iid, cell, b, f in zip(
+                pdf["image_id"], pdf["cell"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    img = C.decode_image(bytes(b), f)
+                except (ValueError, NotImplementedError):
+                    continue
+                h, w, _ = img.shape
+                for y0 in range(0, h, TILE):
+                    for x0 in range(0, w, TILE):
+                        t = img[y0 : y0 + TILE, x0 : x0 + TILE]
+                        rows_id.append(iid)
+                        rows_cell.append(cell)
+                        tx.append(x0 // TILE)
+                        ty.append(y0 // TILE)
+                        tw.append(t.shape[1])
+                        th.append(t.shape[0])
+                        tmean.append(float(t.mean()))
+                        tbytes.append(t.tobytes() if with_bytes else b"")
+            if rows_id:
+                yield pd.DataFrame(
+                    {
+                        "image_id": rows_id,
+                        "cell": np.array(rows_cell, dtype=np.int64),
+                        "tile_x": np.array(tx, dtype=np.int32),
+                        "tile_y": np.array(ty, dtype=np.int32),
+                        "tile_w": np.array(tw, dtype=np.int32),
+                        "tile_h": np.array(th, dtype=np.int32),
+                        "tile_mean": tmean,
+                        "tile": tbytes,
+                    }
+                )
+
+    return images.select(
+        "image_id", F.col(cell_col).alias("cell"), "bytes", "fmt"
+    ).mapInPandas(run, TILES_SCHEMA)
+
+
+def salt_map(
+    images: DataFrame, cell_col: str = "h3_r7", target_rows_per_salt: int = 2000
+) -> DataFrame:
+    """Cell histogram -> (cell, n_salt) for hot cells only (n_salt > 1).
+
+    n_salt = next power of two of ceil(count / target), capped at 64.
+    """
+    hist = images.groupBy(F.col(cell_col).alias("cell")).count()
+    n_salt = F.pow(
+        F.lit(2.0),
+        F.ceil(F.log2(F.greatest(F.ceil(F.col("count") / target_rows_per_salt), F.lit(1)))),
+    ).cast("int")
+    return (
+        hist.withColumn("n_salt", F.least(n_salt, F.lit(64)))
+        .filter(F.col("n_salt") > 1)
+        .select("cell", "n_salt")
+    )
+
+
+def cell_tile_rollup(
+    images: DataFrame,
+    cell_col: str = "h3_r7",
+    target_rows_per_salt: int = 2000,
+) -> DataFrame:
+    """Per-cell tile statistics with two-phase salted aggregation.
+
+    -> (cell, n_images, n_tiles, mean_tile_luma, phash_xor, min_tile_mean,
+        max_tile_mean). ``phash_xor`` is an order-independent per-cell
+    checksum (XOR of member image phashes) used by tests to prove salted
+    == unsalted results.
+    """
+    salts = salt_map(images, cell_col, target_rows_per_salt)
+    imgs = (
+        images.join(F.broadcast(salts), images[cell_col] == salts["cell"], "left")
+        .drop(salts["cell"])
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salt").isNotNull(),
+                F.pmod(F.xxhash64("image_id"), F.col("n_salt")),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    tiles = explode_tiles(
+        imgs.repartition(F.col(cell_col), F.col("salt")), cell_col, with_bytes=False
+    )
+    # phase 1: per (cell, salt-partition) partials happen map-side anyway
+    # (hash-agg partial), but the repartition keeps the *decode UDF* balanced
+    per_image = (
+        tiles.groupBy("cell", "image_id")
+        .agg(
+            F.count("*").alias("n_tiles_img"),
+            F.sum(F.col("tile_mean") * F.col("tile_w") * F.col("tile_h")).alias("luma_wsum"),
+            F.sum(F.col("tile_w") * F.col("tile_h")).alias("px"),
+            F.min("tile_mean").alias("min_tm"),
+            F.max("tile_mean").alias("max_tm"),
+        )
+    )
+    ph = images.select("image_id", "phash")
+    per_image = per_image.join(ph, "image_id")
+    # phase 2: merge partials per cell (all commutative monoids)
+    xor_agg = F.expr(
+        "aggregate(collect_list(phash), cast(0 as bigint), (a, x) -> a ^ x)"
+    )
+    return per_image.groupBy("cell").agg(
+        F.countDistinct("image_id").alias("n_images"),
+        F.sum("n_tiles_img").alias("n_tiles"),
+        (F.sum("luma_wsum") / F.sum("px")).alias("mean_tile_luma"),
+        xor_agg.alias("phash_xor"),
+        F.min("min_tm").alias("min_tile_mean"),
+        F.max("max_tm").alias("max_tile_mean"),
+    )

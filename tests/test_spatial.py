@@ -1,0 +1,136 @@
+"""E2E spatial pipeline vs the committed numpy-oracle goldens
+(SURVEY.md §5.5): cell assignment, PIP join (broadcast + bucketed), kNN,
+decode invariants, salted tiling == unsalted tiling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gjspark.fixtures import generator as gen
+from gjspark.operators.cells import with_cell_columns
+from gjspark.operators.multimodal import decode_stats
+from gjspark.operators.spatial_join import knn_join, pip_join
+from gjspark.operators.tiling import cell_tile_rollup
+from gjspark.sources.geojson import read_feature_collection
+
+
+@pytest.fixture(scope="module")
+def images(spark, fixtures_dir):
+    df = with_cell_columns(
+        spark.read.parquet(f"{fixtures_dir}/images_sf_e2e.parquet")
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def features(spark, fixtures_dir):
+    return read_feature_collection(
+        spark, f"{fixtures_dir}/features_nuts.geojson"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def locations(spark):
+    feats = gen.make_features()
+    cents = gen.feature_centroids(feats)
+    return spark.createDataFrame(
+        [
+            (f["id"], float(c[1]), float(c[0]))
+            for f, c in zip(feats, cents)
+        ],
+        "location_id string, lat double, lon double",
+    )
+
+
+def test_cell_assignment_matches_golden(images, fixtures_dir):
+    got = (
+        images.select("image_id", *[f"h3_r{r}" for r in range(7, 13)], "s2_cell")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(f"{fixtures_dir}/expected_cells.parquet")
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    for col in exp.columns:
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_pip_join_matches_golden(images, features, fixtures_dir, broadcast):
+    got = pip_join(images, features, broadcast_cover=broadcast).toPandas()
+    exp = pd.read_parquet(f"{fixtures_dir}/expected_pip.parquet")
+    got_set = set(zip(got["image_id"], got["feature_id"]))
+    exp_set = set(zip(exp["image_id"], exp["feature_id"]))
+    assert got_set == exp_set
+
+
+def test_knn_matches_golden(images, locations, fixtures_dir):
+    got = knn_join(images, locations).toPandas()
+    exp = pd.read_parquet(f"{fixtures_dir}/expected_knn.parquet")
+    assert len(got) == len(exp)
+    m = got.merge(exp, on="image_id", suffixes=("_got", "_exp"))
+    assert (m["nearest_location_id_got"] == m["nearest_location_id_exp"]).all()
+    assert np.allclose(m["dist_m_got"], m["dist_m_exp"], atol=0.01)
+
+
+def test_decode_invariants(images, fixtures_dir):
+    stats = decode_stats(images).toPandas().sort_values("image_id").reset_index(drop=True)
+    exp = (
+        pd.read_parquet(f"{fixtures_dir}/expected_images.parquet")
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert stats["decode_ok"].all()
+    assert stats["dims_ok"].all()
+    # decoded pixels byte-exact vs oracle decode (crc32)
+    assert (stats["pix_crc32"].to_numpy() == exp["pix_crc32"].to_numpy()).all()
+    # lossy rows met the PSNR >= 40 dB gate at generation time
+    finite = np.isfinite(exp["psnr"].to_numpy())
+    assert (exp["psnr"].to_numpy()[finite] >= 40.0).all()
+    # phash of decoded lossless pixels == stored phash
+    lossless = stats["fmt"].isin(["ppm", "bmp", "png"]).to_numpy()
+    assert (
+        stats["phash_decoded"].to_numpy()[lossless]
+        == stats["phash_stored"].to_numpy()[lossless]
+    ).all()
+    # captions byte-equal through the pipeline
+    n = len(stats)
+    expected_caps = [gen.caption_for(i) for i in range(n)]
+    assert list(stats.sort_values("image_id")["caption"]) == expected_caps
+
+
+def test_tiling_salted_equals_unsalted(images):
+    salted = (
+        cell_tile_rollup(images, target_rows_per_salt=200)
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    unsalted = (
+        cell_tile_rollup(images, target_rows_per_salt=10**9)
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert len(salted) == len(unsalted)
+    for col in ["cell", "n_images", "n_tiles", "phash_xor"]:
+        assert (salted[col].to_numpy() == unsalted[col].to_numpy()).all(), col
+    assert np.allclose(salted["mean_tile_luma"], unsalted["mean_tile_luma"])
+    # totals
+    total_imgs = int(salted["n_images"].sum())
+    assert total_imgs == images.count()
+
+
+def test_tiling_counts_match_pixel_math(images):
+    roll = cell_tile_rollup(images).agg(F.sum("n_tiles")).collect()[0][0]
+    tile = 16
+    pdf = images.select("w", "h").toPandas()
+    exp = int(
+        (np.ceil(pdf["w"] / tile) * np.ceil(pdf["h"] / tile)).sum()
+    )
+    assert roll == exp
