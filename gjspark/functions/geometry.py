@@ -184,6 +184,21 @@ class PolygonSet:
         return np.concatenate(pt_idx), np.concatenate(poly_ord)
 
 
+def wkb_to_geojson(wkb: bytes) -> dict:
+    """WKB -> GeoJSON geometry dict (for Location encoding parity:
+    the reference stores ``application/geo+json`` locations,
+    ``utils/FrostUtils.java:86``)."""
+    gtype, body = parse_wkb(wkb)
+    if gtype == "Point":
+        return {"type": "Point", "coordinates": [body[0], body[1]]}
+    if gtype == "Polygon":
+        return {"type": "Polygon", "coordinates": [r.tolist() for r in body]}
+    return {
+        "type": "MultiPolygon",
+        "coordinates": [[r.tolist() for r in rings] for rings in body],
+    }
+
+
 EARTH_RADIUS_M = 6371008.8
 
 

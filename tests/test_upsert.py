@@ -1,0 +1,206 @@
+"""find-or-create / deep-merge / keepLocations / validator tests
+(reference semantics, SURVEY §5.2)."""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gjspark.operators import validators as V
+from gjspark.operators.upsert import (
+    AmbiguousMatchError,
+    assert_unambiguous,
+    deep_merge,
+    find_or_create,
+    merge_location_links,
+)
+
+
+class TestDeepMerge:
+    # rule matrix from FrostUtils.java:727-765
+    def test_source_wins_on_conflict(self):
+        assert deep_merge({"a": 1}, {"a": 2}) == {"a": 2}
+
+    def test_empty_never_overwrites(self):
+        assert deep_merge({"a": 1}, {"a": None}) == {"a": 1}
+        assert deep_merge({"a": 1}, {"a": ""}) == {"a": 1}
+
+    def test_new_keys_added(self):
+        assert deep_merge({"a": 1}, {"b": 2}) == {"a": 1, "b": 2}
+
+    def test_nested_recursion(self):
+        t = {"m": {"x": 1, "y": 2}}
+        s = {"m": {"y": 3, "z": 4}}
+        assert deep_merge(t, s) == {"m": {"x": 1, "y": 3, "z": 4}}
+
+    def test_depth_cap(self):
+        t = {"a": {"b": {"c": {"old": 1}}}}
+        s = {"a": {"b": {"c": {"new": 2}}}}
+        # depth 0: dicts are scalars -> source replaces wholesale
+        assert deep_merge(t, s, max_depth=0) == s
+        assert deep_merge(t, s, max_depth=10) == {
+            "a": {"b": {"c": {"old": 1, "new": 2}}}
+        }
+
+    def test_type_conflict_source_wins(self):
+        assert deep_merge({"a": {"x": 1}}, {"a": 5}) == {"a": 5}
+
+
+@pytest.fixture()
+def entities(spark):
+    rows = [
+        ("K1", "Name1", "D1", json.dumps({"p": "1"}), None),  # matches, equal
+        ("K2", "Name2-new", "D2", json.dumps({"p": "2"}), None),  # matches, diff
+        ("K3", "Name3", "D3", json.dumps({"p": "3"}), None),  # absent
+    ]
+    return spark.createDataFrame(
+        rows, "cache_key string, name string, description string, "
+        "properties_json string, geometry_json string"
+    )
+
+
+@pytest.fixture()
+def snapshot(spark):
+    rows = [
+        ("id-1", "K1", "Name1", "D1", json.dumps({"p": "1"}), None),
+        ("id-2", "K2", "Name2", "D2", json.dumps({"p": "2", "q": "z"}), None),
+    ]
+    return spark.createDataFrame(
+        rows, "location_id string, cache_key string, name string, "
+        "description string, properties_json string, geometry_json string"
+    )
+
+
+class TestFindOrCreate:
+    def test_empty_snapshot_all_create(self, entities):
+        out = find_or_create(entities, None, "Location").collect()
+        assert all(r["op"] == "create" for r in out)
+        ids = {r["entity_id"] for r in out}
+        assert len(ids) == 3 and all(i.startswith("location-") for i in ids)
+
+    def test_deterministic_ids(self, entities):
+        a = {r["cache_key"]: r["entity_id"] for r in find_or_create(entities, None, "Location").collect()}
+        b = {r["cache_key"]: r["entity_id"] for r in find_or_create(entities, None, "Location").collect()}
+        assert a == b
+
+    def test_matched_new_split(self, entities, snapshot):
+        out = {r["cache_key"]: r for r in find_or_create(entities, snapshot, "Location").collect()}
+        assert out["K1"]["op"] == "noop" and out["K1"]["entity_id"] == "id-1"
+        assert out["K2"]["op"] == "update" and out["K2"]["entity_id"] == "id-2"
+        # deep merge kept the snapshot-only key q
+        assert json.loads(out["K2"]["properties_json"]) == {"p": "2", "q": "z"}
+        assert out["K3"]["op"] == "create"
+
+    def test_ambiguity_fail_fast(self, spark, entities, snapshot):
+        dup = snapshot.union(
+            spark.createDataFrame(
+                [("id-9", "K1", "o", "o", None, None)], snapshot.schema
+            )
+        )
+        with pytest.raises(AmbiguousMatchError):
+            find_or_create(entities, dup, "Location")
+
+    def test_assert_unambiguous_ok(self, snapshot):
+        assert_unambiguous(snapshot)  # should not raise
+
+
+class TestKeepLocations:
+    def test_union_vs_replace(self, spark):
+        df = spark.createDataFrame(
+            [("t1", ["L2", "L1"], ["L3", "L1"])],
+            "thing_id string, location_ids array<string>, "
+            "snap_location_ids array<string>",
+        )
+        keep = merge_location_links(df, keep_locations=True).collect()[0]
+        assert keep["location_ids_merged"] == ["L1", "L2", "L3"]
+        assert keep["links_changed"]
+        repl = merge_location_links(df, keep_locations=False).collect()[0]
+        assert repl["location_ids_merged"] == ["L1", "L2"]
+
+
+@pytest.fixture()
+def obs(spark):
+    t = dt.datetime(2024, 3, 1)
+    rows = [
+        ("o1", "ds1", t, None, "1", "{}"),
+        ("o2", "ds1", t + dt.timedelta(hours=2), None, "2", "{}"),
+        ("o3", "ds2", t, None, "3", '{"q":"1"}'),
+    ]
+    return spark.createDataFrame(
+        rows, "obs_id string, ds_key string, t_start timestamp, "
+        "t_end timestamp, result string, params_json string"
+    )
+
+
+@pytest.fixture()
+def existing(spark):
+    t = dt.datetime(2024, 3, 1)
+    rows = [
+        ("e1", "ds1", t + dt.timedelta(hours=1), None, "9", "{}"),
+        ("e2", "ds2", t, None, "3", '{"q":"1"}'),
+    ]
+    return spark.createDataFrame(
+        rows, "obs_id string, ds_key string, t_start timestamp, "
+        "t_end timestamp, result string, params_json string"
+    )
+
+
+class TestValidators:
+    def test_newer(self, obs, existing):
+        got = {r["obs_id"] for r in V.validator_newer(obs, existing).collect()}
+        # ds1 latest = t+1h -> only o2 passes; ds2 latest = t -> o3 equal, drop
+        assert got == {"o2"}
+
+    def test_by_phen_time_drop(self, obs, existing):
+        got = {r["obs_id"] for r in V.validator_by_phen_time(obs, existing).collect()}
+        assert got == {"o1", "o2"}  # o3 collides with e2
+
+    def test_by_phen_time_update(self, spark, obs, existing):
+        # make o3's result differ -> update with existing id
+        obs2 = obs.withColumn(
+            "result", F.when(F.col("obs_id") == "o3", "33").otherwise(F.col("result"))
+        )
+        rows = {r["obs_id"]: r for r in V.validator_by_phen_time(obs2, existing, update=True).collect()}
+        assert rows["e2"]["op"] == "update"
+        assert rows["o1"]["op"] == "create"
+
+    def test_by_parameter(self, obs, existing):
+        got = {r["obs_id"] for r in V.validator_by_parameter(obs, existing).collect()}
+        # ds1 params {} exists -> o1, o2 dropped; ds2 {"q":"1"} exists -> o3 dropped
+        assert got == set()
+        got2 = {
+            r["obs_id"]
+            for r in V.validator_by_parameter(obs, existing, with_phen_time=True).collect()
+        }
+        assert got2 == {"o1", "o2"}  # times differ from e1's for ds1
+
+    def test_before_after(self, obs):
+        cut = dt.datetime(2024, 3, 1, 1)
+        assert {r["obs_id"] for r in V.validator_before(obs, cut).collect()} == {"o1", "o3"}
+        assert {r["obs_id"] for r in V.validator_after(obs, cut).collect()} == {"o2"}
+
+    def test_multi_and_null(self, obs):
+        out = V.validator_multi(
+            obs,
+            [
+                V.validator_null,
+                lambda d: V.validator_after(d, dt.datetime(2024, 2, 1)),
+                lambda d: V.validator_before(d, dt.datetime(2024, 3, 1, 1)),
+            ],
+        )
+        assert {r["obs_id"] for r in out.collect()} == {"o1", "o3"}
+
+    def test_dedup_keep_latest(self, spark):
+        t = dt.datetime(2024, 3, 1)
+        rows = [
+            ("a1", "ds1", t, None, "1", "{}"),
+            ("a2", "ds1", t, None, "1b", "{}"),
+            ("a3", "ds1", t + dt.timedelta(hours=1), None, "2", "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows, "obs_id string, ds_key string, t_start timestamp, "
+            "t_end timestamp, result string, params_json string"
+        )
+        got = {r["obs_id"] for r in V.dedup_keep_latest(df).collect()}
+        assert got == {"a2", "a3"}
