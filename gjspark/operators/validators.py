@@ -112,11 +112,17 @@ def validator_by_parameter(
     existing: DataFrame,
     with_phen_time: bool = False,
 ) -> DataFrame:
-    """V4: left-anti join on equal params_json (optionally + time)."""
+    """V4: left-anti join on equal params_json (optionally + time).
+    Null-safe equality so NULL t_end (instant obs) matches NULL."""
     keys = ["ds_key", "params_json"] + (
         ["t_start", "t_end"] if with_phen_time else []
     )
-    return obs.join(existing.select(*keys).distinct(), keys, "left_anti")
+    ex = existing.select(*[F.col(k).alias(f"__x_{k}") for k in keys]).distinct()
+    cond = None
+    for k in keys:
+        c = obs[k].eqNullSafe(F.col(f"__x_{k}"))
+        cond = c if cond is None else (cond & c)
+    return obs.join(ex, cond, "left_anti")
 
 
 def validator_before(obs: DataFrame, cutoff) -> DataFrame:
