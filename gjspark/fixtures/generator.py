@@ -33,7 +33,7 @@ from gjspark.functions import geometry as G
 from gjspark.functions import h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v8"
+VERSION = "v10"
 SEED = 42
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -257,9 +257,10 @@ def oracle_cells(image_id, lat, lon):
 
 
 def oracle_pip(image_id, lat, lon, feats):
+    # rounded coords — identical to what the features pipeline produces
     wkbs, ids = [], []
     for f in feats:
-        g = f["geometry"]
+        g = round_geometry(f["geometry"])
         if g["type"] == "Polygon":
             wkbs.append(G.polygon_wkb([np.array(r) for r in g["coordinates"]]))
         else:
@@ -322,25 +323,46 @@ def oracle_images(image_id, blobs, fmts):
 # ---------------------------------------------------------------------------
 
 
+def round_geometry(geom: dict, scale: int = 6) -> dict:
+    """Apply the engine's coordinate rounding (HALF_EVEN, scale 6 —
+    ``FrostUtils.java:978-1001``) to a GeoJSON geometry dict."""
+
+    def rnd(x):
+        if isinstance(x, list):
+            return [rnd(v) for v in x]
+        return float(np.round(x, scale))
+
+    return {"type": geom["type"], "coordinates": rnd(geom["coordinates"])}
+
+
 def make_entity_snapshot(feats):
     """Pre-existing 'server' Locations keyed `{type}-{NUTS_ID}`.
 
-    1/3 identical (no-op), 1/3 differing (diff-update), 1/3 absent
+    "Identical" rows are rendered through the same templates a previous
+    import would have used, plus a server-only key (lastUpdated) that must
+    survive the deep merge. 1/3 identical (no-op), 1/3 differing (diff-update), 1/3 absent
     (create) + one duplicated key (ambiguity fail-fast,
     ``utils/FrostUtils.java:646-648``).
     """
+    from gjspark.operators.entities import nuts_config
+    from gjspark.operators.template import render_template
+
+    cfg = nuts_config()[0]
     rows = []
     for k, f in enumerate(feats):
         if k % 3 == 2:
             continue  # absent -> create path
         p = f["properties"]
-        key = f"{p['type']}-{p['NUTS_ID']}"
-        name = p["NUTS_NAME"]
-        desc = f"Area {p['NUTS_NAME']}"
-        props = {"lastUpdated": "2024-01-01", "source": "snapshot"}
+        key = render_template(cfg.template_cache_key, p)
+        name = render_template(cfg.template_name, p)
+        desc = render_template(cfg.template_description, p)
+        props = json.loads(render_template(cfg.template_properties, p))
+        props["lastUpdated"] = "2024-01-01"
+        geom = json.dumps(round_geometry(f["geometry"]), sort_keys=True)
         if k % 3 == 1:  # differing
             name = name + " (old)"
             props["stale"] = "yes"
+            geom = json.dumps({"type": "Point", "coordinates": [0.0, 0.0]})
         rows.append(
             {
                 "location_id": f"loc-{k:05d}",
@@ -348,9 +370,7 @@ def make_entity_snapshot(feats):
                 "name": name,
                 "description": desc,
                 "properties_json": json.dumps(props, sort_keys=True),
-                "geometry_json": json.dumps(f["geometry"], sort_keys=True)
-                if k % 3 == 0
-                else json.dumps({"type": "Point", "coordinates": [0.0, 0.0]}),
+                "geometry_json": geom,
                 "encoding_type": "application/geo+json",
             }
         )
