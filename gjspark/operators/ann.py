@@ -1,0 +1,184 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(graft-cell requirement).
+
+- brute_force_topk: exact cosine top-k. The index side is broadcast as a
+  normalized numpy matrix; queries stream through ``mapInPandas`` doing
+  one BLAS matmul per Arrow batch. Correct baseline + DuckDB-oracle
+  checkable. Fine whenever the *index* fits an executor (~10M x 128 dims
+  = 5 GB); the scan side can be arbitrarily large.
+- ivf_topk: the scale path — k-means-style coarse quantizer (trained on a
+  driver sample), vectors assigned to their nearest ``n_list`` centroid
+  (one shuffle on the centroid key), queries probe ``n_probe`` nearest
+  lists only. Recall is tested against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def _collect_normalized(index: DataFrame, id_col: str, vec_col: str):
+    rows = index.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    return ids, mat
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    index: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """-> (vec_id, neighbor_id, cosine): exact top-k by cosine, ties broken
+    by neighbor_id asc (deterministic)."""
+    index = index if index is not None else queries
+    spark = queries.sparkSession
+    ids, mat = _collect_normalized(index, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        iids, imat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+            sims = q @ imat.T  # (batch, n_index) BLAS
+            qids = pdf[id_col].to_numpy()
+            if exclude_self:
+                self_pos = np.searchsorted(iids, qids)
+                in_range = (self_pos < len(iids)) & (
+                    iids[np.clip(self_pos, 0, len(iids) - 1)] == qids
+                )
+                sims[np.nonzero(in_range)[0], self_pos[in_range]] = -np.inf
+            kk = min(k, sims.shape[1])
+            # argpartition then exact sort of the k candidates
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(q)), kk)
+            cand_s = sims[rows, part.ravel()].reshape(len(q), kk)
+            # order by (-cosine, neighbor_id) for deterministic ties
+            ord_idx = np.lexsort((iids[part], -cand_s), axis=1)
+            part_sorted = np.take_along_axis(part, ord_idx, axis=1)
+            s_sorted = np.take_along_axis(cand_s, ord_idx, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(qids, kk),
+                    "neighbor_id": iids[part_sorted.ravel()],
+                    "cosine": np.round(s_sorted.ravel(), 6),
+                }
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(run, _TOPK_SCHEMA)
+
+
+def train_centroids(
+    index: DataFrame,
+    n_list: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd k-means on a driver-side sample (the IVF coarse quantizer).
+    At scale: sample via ``df.sample``, centroids broadcast."""
+    rows = index.select(vec_col).limit(sample).collect()
+    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_list, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    index: DataFrame | None = None,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: index vectors partitioned by nearest centroid; each query
+    probes its ``n_probe`` closest lists. One equi-join shuffle on the
+    list id; candidate scoring stays vectorized. Approximate — recall vs
+    brute force is asserted in tests."""
+    index = index if index is not None else queries
+    spark = queries.sparkSession
+    cent = train_centroids(index, n_list=n_list, vec_col=vec_col)
+    bc = spark.sparkContext.broadcast(cent)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.IntegerType())
+    def _assign(vec: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probes(vec: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack(vec.to_numpy()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    idx = index.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    ).withColumn("list_id", _assign(F.col("nvec")))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    ).withColumn("list_id", F.explode(_probes(F.col("qvec"))))
+
+    cand = q.join(idx, "list_id").filter(F.col("qid") != F.col("nid"))
+
+    @pandas_udf(T.DoubleType())
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-30))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        cand.withColumn("cosine", F.round(_cos(F.col("qvec"), F.col("nvec")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cosine",
+        )
+    )
