@@ -1,38 +1,545 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+twin for each (fixture-golden ``read_parquet`` where templates/geometry
+are not SQL-expressible; genuinely non-SQL ops — LSH candidates, IVF —
+are rows-only by design).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIX = os.path.join(REPO, "fixtures_data")
+
+_CUTOFF_LO = "2024-01-10 00:00:00"
+_CUTOFF_HI = "2024-01-20 00:00:00"
+
+
+def _fixtures() -> str:
+    import sys
+
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from gjspark.fixtures.generator import ensure_fixtures
+
+    return ensure_fixtures(FIX)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue-by-nation broadcast join + agg on sf0.001."""
+    return q_revenue_by_nation(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# relational queries (TPC-H-ish tables; reference operator analogues)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A-class aggregation (TPC-H Q1 shape; SURVEY §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J4-style FK equi-joins, dimension sides broadcast (SURVEY §2.3)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """W1 order-by + top-1 per key (ValidatorNewer's latest-obs lookup)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+            "event_type",
+        )
+    )
+
+
+def _events_as_obs(e, parity: int):
+    return e.filter(F.col("event_id") % 2 == parity).select(
+        F.col("event_id").alias("obs_id"),
+        F.col("user_id").cast("string").alias("ds_key"),
+        F.col("ts").alias("t_start"),
+        F.lit(None).cast("timestamp").alias("t_end"),
+        F.col("value").cast("string").alias("result"),
+        F.col("event_type").alias("params_json"),
+    )
+
+
+def q_validator_newer(spark, sf_dir):
+    """V2 ValidatorNewer over the events table (odd ids = incoming)."""
+    from gjspark.operators.validators import validator_newer
+
+    e = _t(spark, sf_dir, "events")
+    out = validator_newer(_events_as_obs(e, 1), _events_as_obs(e, 0))
+    return out.select(
+        F.col("obs_id").alias("event_id"),
+        F.col("ds_key").alias("user_id"),
+        F.unix_timestamp("t_start").alias("ts_epoch"),
+    )
+
+
+def q_validator_byphentime(spark, sf_dir):
+    """V3 ValidatorByPhenTime (drop-on-collision branch)."""
+    from gjspark.operators.validators import validator_by_phen_time
+
+    e = _t(spark, sf_dir, "events")
+    out = validator_by_phen_time(_events_as_obs(e, 1), _events_as_obs(e, 0))
+    return out.select(
+        F.col("obs_id").alias("event_id"),
+        F.col("ds_key").alias("user_id"),
+        F.unix_timestamp("t_start").alias("ts_epoch"),
+    )
+
+
+def q_validator_window(spark, sf_dir):
+    """V5/V6 Before/After cutoffs + V7 chaining, as counts per type."""
+    from gjspark.operators.validators import (
+        validator_after,
+        validator_before,
+        validator_multi,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    obs = e.select(
+        F.col("event_id").alias("obs_id"),
+        F.col("event_type"),
+        F.col("ts").alias("t_start"),
+    )
+    out = validator_multi(
+        obs,
+        [
+            lambda d: validator_after(d, _CUTOFF_LO),
+            lambda d: validator_before(d, _CUTOFF_HI),
+        ],
+    )
+    return out.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_events_hourly(spark, sf_dir):
+    """A2 windowed min/max/stddev rollup (SensorThingsUtils aggregates —
+    the reference only creates the containers; we compute the values)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("h").alias("hour_epoch"),
+            "n",
+            "min_v",
+            "max_v",
+            "avg_v",
+        )
+    )
+
+
+def q_word_freq(spark, sf_dir):
+    """Explode + group (token counting over documents)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (documents/embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    from gjspark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_text_stats(spark, sf_dir):
+    from gjspark.operators.text import text_stats
+
+    out = text_stats(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "stopword_ratio",
+        "avg_token_len",
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from gjspark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark, sf_dir):
+    from gjspark.operators.ann import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from gjspark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from gjspark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+def q_langid(spark, sf_dir):
+    from gjspark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow(spark, sf_dir):
+    from gjspark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    from gjspark.operators.ann import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_list=16, n_probe=12)
+
+
+# ---------------------------------------------------------------------------
+# geospatial / image queries (deterministic fixtures + committed goldens)
+# ---------------------------------------------------------------------------
+
+
+def q_cells(spark, sf_dir):
+    from gjspark.operators.cells import with_cell_columns
+
+    fx = _fixtures()
+    imgs = spark.read.parquet(f"{fx}/images_sf_e2e.parquet")
+    return with_cell_columns(imgs).select(
+        "image_id", *[f"h3_r{r}" for r in range(7, 13)], "s2_cell"
+    )
+
+
+def q_pip(spark, sf_dir):
+    from gjspark.operators.cells import with_cell_columns
+    from gjspark.operators.spatial_join import pip_join
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
+    feats = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
+    return pip_join(imgs, feats)
+
+
+def q_knn(spark, sf_dir):
+    from gjspark.operators.spatial_join import knn_join
+    from gjspark.plans.pipeline import feature_locations
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    imgs = spark.read.parquet(f"{fx}/images_sf_e2e.parquet")
+    feats = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
+    return knn_join(imgs, feature_locations(feats)).select(
+        "image_id", "nearest_location_id"
+    )
+
+
+def q_decode(spark, sf_dir):
+    from gjspark.operators.multimodal import decode_stats
+
+    fx = _fixtures()
+    imgs = spark.read.parquet(f"{fx}/images_sf_e2e.parquet")
+    return decode_stats(imgs).select("image_id", "pix_crc32", "caption")
+
+
+def q_tile_rollup(spark, sf_dir):
+    from gjspark.operators.cells import with_cell_columns
+    from gjspark.operators.tiling import cell_tile_rollup
+
+    fx = _fixtures()
+    imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
+    return cell_tile_rollup(imgs).select("cell", "n_images", "n_tiles", "phash_xor")
+
+
+def q_preview(spark, sf_dir):
+    from gjspark.operators.entities import nuts_config, preview
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    feats = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
+    return preview(feats, nuts_config()).select(
+        "feature_id", "entity_type", "name", "description",
+        "properties_json", "cache_key",
+    )
+
+
+def q_upsert(spark, sf_dir):
+    from gjspark.operators.entities import nuts_config, preview
+    from gjspark.operators.upsert import find_or_create
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    feats = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
+    locs = preview(feats, [nuts_config()[0]])
+    snap = spark.read.parquet(f"{fx}/entity_snapshot.parquet").filter(
+        F.col("cache_key") != "NUTS-AMBIG"
+    )
+    return find_or_create(locs, snap, "Location", check_ambiguous=False).select(
+        "cache_key", "op", "name", "properties_json"
+    )
+
+
+def q_csv_points(spark, sf_dir):
+    from gjspark.sources.csv_points import read_csv_points
+
+    fx = _fixtures()
+    return read_csv_points(
+        spark, f"{fx}/points.csv", x_col="easting", y_col="northing",
+        crs_col="crs",
+    ).select("feature_id", "lon", "lat")
+
+
+def q_crs_points(spark, sf_dir):
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    return read_feature_collection(
+        spark, f"{fx}/features_points_25832.geojson"
+    ).select("feature_id", "lon", "lat")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / reference-operator analogues
+        "q_pricing_summary": q_pricing_summary,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_latest_event_per_user": q_latest_event_per_user,
+        "q_validator_newer": q_validator_newer,
+        "q_validator_byphentime": q_validator_byphentime,
+        "q_validator_window": q_validator_window,
+        "q_events_hourly": q_events_hourly,
+        "q_word_freq": q_word_freq,
+        # training-data ops
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_stats": q_text_stats,
+        "q_fingerprint": q_fingerprint,
+        "q_ann_topk": q_ann_topk,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_langid": q_langid,
+        "q_winnow": q_winnow,
+        "q_ivf_topk": q_ivf_topk,
+        # geospatial / image pipeline
+        "q_cells": q_cells,
+        "q_pip": q_pip,
+        "q_knn": q_knn,
+        "q_decode": q_decode,
+        "q_tile_rollup": q_tile_rollup,
+        "q_preview": q_preview,
+        "q_upsert": q_upsert,
+        "q_csv_points": q_csv_points,
+        "q_crs_points": q_crs_points,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gjspark.operators.text import STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    fx = FIX
+    return {
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_latest_event_per_user": """
+            SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS ts_epoch, event_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) t
+            WHERE rn = 1
+        """,
+        "q_validator_newer": """
+            SELECT e.event_id, e.user_id::VARCHAR AS user_id,
+                   floor(epoch(e.ts))::BIGINT AS ts_epoch
+            FROM events e
+            WHERE e.event_id % 2 = 1
+              AND (NOT EXISTS (SELECT 1 FROM events x
+                               WHERE x.event_id % 2 = 0 AND x.user_id = e.user_id)
+                   OR e.ts > (SELECT max(x.ts) FROM events x
+                              WHERE x.event_id % 2 = 0 AND x.user_id = e.user_id))
+        """,
+        "q_validator_byphentime": """
+            SELECT e.event_id, e.user_id::VARCHAR AS user_id,
+                   floor(epoch(e.ts))::BIGINT AS ts_epoch
+            FROM events e
+            WHERE e.event_id % 2 = 1
+              AND NOT EXISTS (SELECT 1 FROM events x
+                              WHERE x.event_id % 2 = 0
+                                AND x.user_id = e.user_id AND x.ts = e.ts)
+        """,
+        "q_validator_window": f"""
+            SELECT event_type, count(*) AS n FROM events
+            WHERE ts > TIMESTAMP '{_CUTOFF_LO}' AND ts < TIMESTAMP '{_CUTOFF_HI}'
+            GROUP BY event_type
+        """,
+        "q_events_hourly": """
+            SELECT event_type,
+                   epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+                   count(*) AS n,
+                   round(min(value), 4) AS min_v,
+                   round(max(value), 4) AS max_v,
+                   round(avg(value), 4) AS avg_v
+            FROM events GROUP BY 1, 2
+        """,
+        "q_word_freq": """
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+                FROM documents) t
+            GROUP BY word HAVING count(*) >= 50
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "q_text_stats": f"""
+            SELECT doc_id,
+              len(text)::BIGINT AS n_chars,
+              len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+              round((len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / len(text), 4) AS punct_ratio,
+              round((len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) / len(text), 4) AS digit_ratio,
+              round((len(text) - len(regexp_replace(text, '[A-Z]', '', 'g'))) / len(text), 4) AS upper_ratio,
+              round(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x in ({stop_list}))) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio,
+              round(len(regexp_replace(text, '\\s+', '', 'g')) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len
+            FROM documents
+        """,
+        "q_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "q_ann_topk": """
+            WITH p AS (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                b.vec_id) AS rn
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            SELECT vec_id, neighbor_id, cosine FROM p WHERE rn <= 5
+        """,
+        # geospatial/image: goldens from the committed single-process numpy
+        # oracle (templates/H3/PIP/codecs are not SQL-expressible)
+        "q_cells": f"SELECT * FROM read_parquet('{fx}/expected_cells.parquet')",
+        "q_pip": f"SELECT image_id, feature_id FROM read_parquet('{fx}/expected_pip.parquet')",
+        "q_knn": f"SELECT image_id, nearest_location_id FROM read_parquet('{fx}/expected_knn.parquet')",
+        "q_decode": f"""
+            SELECT e.image_id, e.pix_crc32, i.caption
+            FROM read_parquet('{fx}/expected_images.parquet') e
+            JOIN read_parquet('{fx}/images_sf_e2e.parquet') i USING (image_id)
+        """,
+        "q_tile_rollup": f"""
+            SELECT c.h3_r7 AS cell,
+                   count(DISTINCT i.image_id) AS n_images,
+                   CAST(sum(ceil(i.w / 16.0) * ceil(i.h / 16.0)) AS BIGINT) AS n_tiles,
+                   bit_xor(i.phash) AS phash_xor
+            FROM read_parquet('{fx}/images_sf_e2e.parquet') i
+            JOIN read_parquet('{fx}/expected_cells.parquet') c USING (image_id)
+            GROUP BY 1
+        """,
+        "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",
+        "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",
+        "q_csv_points": f"SELECT * FROM read_parquet('{fx}/expected_csv_points.parquet')",
+        "q_crs_points": f"SELECT * FROM read_parquet('{fx}/expected_points25832.parquet')",
+        # q_minhash_pairs / q_simhash_pairs / q_langid / q_winnow /
+        # q_ivf_topk: LSH bucketing, heuristic language id, winnowing and
+        # IVF probing are not ANSI-SQL-expressible -> rows-only checks.
+    }

@@ -480,11 +480,150 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
+LIGHT_VERSION = "L3"
+
+
+def oracle_preview(feats):
+    """Pure-Python preview golden (the reference's generateTestOutput
+    analogue) for the NUTS config — used as the DuckDB oracle for the
+    Spark preview query."""
+    from gjspark.operators.entities import nuts_config
+    from gjspark.operators.template import render_template
+
+    rows = []
+    for idx, f in enumerate(feats):
+        props = f["properties"]
+        for cfg in nuts_config():
+            name = render_template(cfg.template_name, props)
+            if not name.strip():
+                continue
+            rows.append(
+                {
+                    "feature_id": f["id"],
+                    "entity_type": cfg.entity_type,
+                    "name": name,
+                    "description": render_template(cfg.template_description, props),
+                    "properties_json": json.dumps(
+                        json.loads(render_template(cfg.template_properties, props)),
+                        sort_keys=True,
+                    ),
+                    "cache_key": render_template(cfg.template_cache_key, props),
+                }
+            )
+    return rows
+
+
+def oracle_upsert(feats):
+    """Pure-Python find-or-create golden vs the entity snapshot."""
+    from gjspark.operators.entities import nuts_config
+    from gjspark.operators.template import render_template
+    from gjspark.operators.upsert import deep_merge
+
+    cfg = nuts_config()[0]
+    snap = {
+        r["cache_key"]: r
+        for r in make_entity_snapshot(feats)
+        if r["cache_key"] != "NUTS-AMBIG"
+    }
+    rows = []
+    for f in feats:
+        p = f["properties"]
+        name = render_template(cfg.template_name, p)
+        if not name.strip():
+            continue
+        key = render_template(cfg.template_cache_key, p)
+        desc = render_template(cfg.template_description, p)
+        props_json = json.dumps(
+            json.loads(render_template(cfg.template_properties, p)), sort_keys=True
+        )
+        geom = json.dumps(round_geometry(f["geometry"]), sort_keys=True)
+        s = snap.get(key)
+        if s is None:
+            op, props_out = "create", props_json
+        else:
+            merged = json.dumps(
+                deep_merge(json.loads(s["properties_json"]), json.loads(props_json)),
+                sort_keys=True,
+            )
+            changed = (
+                name != s["name"]
+                or desc != s["description"]
+                or merged != s["properties_json"]
+                or geom != s["geometry_json"]
+            )
+            op, props_out = ("update", merged) if changed else ("noop", merged)
+        rows.append(
+            {"cache_key": key, "op": op, "name": name, "properties_json": props_out}
+        )
+    return rows
+
+
+def oracle_csv_points():
+    """Golden lon/lat for points.csv via the numpy CRS kernel."""
+    from gjspark.functions.crs import round_half_even, to_wgs84
+
+    lines = [
+        ln
+        for ln in make_csv().strip().split("\n")
+        if not ln.startswith("#")
+    ][1:]
+    rows = []
+    for ln in lines:
+        name, easting, northing, crs, *_ = ln.split(";")
+        e = float(easting.replace(".", "").replace(",", ".")) if "," in easting else float(easting)
+        lon, lat = to_wgs84(np.array([e]), np.array([float(northing)]), int(crs))
+        rows.append(
+            {
+                "feature_id": name,
+                "lon": float(round_half_even(lon)[0]),
+                "lat": float(round_half_even(lat)[0]),
+            }
+        )
+    return rows
+
+
+def oracle_points_25832():
+    from gjspark.functions.crs import round_half_even, to_wgs84
+
+    rows = []
+    for f in make_points_25832():
+        x, y = f["geometry"]["coordinates"]
+        lon, lat = to_wgs84(np.array([x]), np.array([y]), 25832)
+        rows.append(
+            {
+                "feature_id": f["id"],
+                "lon": float(round_half_even(lon)[0]),
+                "lat": float(round_half_even(lat)[0]),
+            }
+        )
+    return rows
+
+
+def _ensure_light(root: str) -> None:
+    """Cheap goldens (no image generation): preview/upsert/CSV/CRS."""
+    stamp = os.path.join(root, f".stamp-light-{LIGHT_VERSION}")
+    if os.path.exists(stamp):
+        return
+    feats = make_features()
+    for name, rows in (
+        ("expected_preview.parquet", oracle_preview(feats)),
+        ("expected_upsert.parquet", oracle_upsert(feats)),
+        ("expected_csv_points.parquet", oracle_csv_points()),
+        ("expected_points25832.parquet", oracle_points_25832()),
+    ):
+        _write_parquet(
+            os.path.join(root, name), {k: [r[k] for r in rows] for k in rows[0]}
+        )
+    with open(stamp, "w") as f:
+        f.write(LIGHT_VERSION)
+
+
 def ensure_fixtures(root: str = DEFAULT_DIR) -> str:
+    os.makedirs(root, exist_ok=True)
+    _ensure_light(root)
     stamp = os.path.join(root, f".stamp-{VERSION}")
     if os.path.exists(stamp):
         return root
-    os.makedirs(root, exist_ok=True)
 
     feats = make_features()
     with open(os.path.join(root, "features_nuts.geojson"), "w") as f:

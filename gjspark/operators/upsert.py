@@ -160,11 +160,12 @@ def find_or_create(
             ),
         )
         .withColumn(
+            # resulting server-side state: merged when an entity existed
+            # (noop rows keep the snapshot's extra keys), rendered otherwise
             "properties_json",
-            F.when(
-                F.col("__snap_id").isNotNull() & (F.col("op") == "update"),
-                merged_props,
-            ).otherwise(F.col("properties_json")),
+            F.when(F.col("__snap_id").isNotNull(), merged_props).otherwise(
+                F.col("properties_json")
+            ),
         )
     )
     return out.drop("__snap_id", "__snap_name", "__snap_desc", "__snap_props", "__snap_geom")
