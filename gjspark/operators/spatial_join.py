@@ -256,12 +256,21 @@ def knn_join(
             "dist_m",
             _haversine_col(F.col("lat"), F.col("lon"), F.col("llat"), F.col("llon")),
         )
-        w = Window.partitionBy("image_id").orderBy(
-            F.col("dist_m").asc(), F.col("location_id").asc()
-        )
+        # top-1 per image via min(struct(dist, id)): partial-aggregates
+        # map-side (no sort, no window shuffle of full candidate rows) and
+        # the struct ordering gives the deterministic (dist, id) tiebreak
         ok = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            cand.groupBy("image_id")
+            .agg(
+                F.min(F.struct("dist_m", "location_id")).alias("best"),
+                F.first("margin_m").alias("margin_m"),
+            )
+            .select(
+                "image_id",
+                F.col("best.location_id").alias("location_id"),
+                F.col("best.dist_m").alias("dist_m"),
+                "margin_m",
+            )
             .filter(
                 (F.col("dist_m") <= F.lit(guarantee_m))
                 & (F.col("dist_m") <= F.col("margin_m"))

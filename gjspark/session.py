@@ -14,6 +14,18 @@ from pyspark.sql import SparkSession
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# One BLAS thread per Python worker: N workers x M BLAS threads thrashes the
+# box and makes UDF stage times wildly variable. Python workers inherit the
+# driver env in local mode; spark.executorEnv covers cluster mode.
+_BLAS_VARS = (
+    "OMP_NUM_THREADS",
+    "OPENBLAS_NUM_THREADS",
+    "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS",
+)
+for _v in _BLAS_VARS:
+    os.environ.setdefault(_v, "1")
+
 
 def get_spark(
     app_name: str = "gjspark",
@@ -45,6 +57,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for v in _BLAS_VARS:
+        b = b.config(f"spark.executorEnv.{v}", "1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,75 @@
+"""Structured Streaming validators: run with a file source + trigger
+availableNow -> memory sink; semantics must match the batch validators."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gjspark.streaming.validators import (
+    stream_dedup_by_phen_time,
+    stream_hourly_rollup,
+    stream_latest_per_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("obs_id", T.StringType()),
+        T.StructField("ds_key", T.StringType()),
+        T.StructField("t_start", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        ("o1", "ds1", t, 1.0),
+        ("o1b", "ds1", t, 99.0),  # duplicate phenomenonTime -> dropped
+        ("o2", "ds1", t + dt.timedelta(minutes=30), 2.0),
+        ("o3", "ds2", t + dt.timedelta(hours=1), 3.0),
+    ]
+    p = str(tmp_path / "in")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(p)
+    return p
+
+
+def _run(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "dedup" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_dedup(spark, stream_dir):
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    _run(stream_dedup_by_phen_time(src), "dedup")
+    got = spark.sql("select * from dedup").collect()
+    keys = {(r["ds_key"], r["t_start"]) for r in got}
+    assert len(got) == 3 and len(keys) == 3  # o1/o1b collapsed
+
+
+def test_stream_latest(spark, stream_dir):
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    _run(stream_latest_per_stream(src), "latest")
+    got = {r["ds_key"]: r["latest_t"] for r in spark.sql("select * from latest").collect()}
+    assert got["ds1"] == dt.datetime(2024, 3, 1, 10, 30)
+    assert got["ds2"] == dt.datetime(2024, 3, 1, 11, 0)
+
+
+def test_stream_hourly(spark, stream_dir):
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    _run(stream_hourly_rollup(src), "hourly")
+    got = spark.sql("select * from hourly").collect()
+    by_key = {(r["ds_key"], r["window_start"]): r for r in got}
+    r = by_key[("ds1", dt.datetime(2024, 3, 1, 10, 0))]
+    assert r["n"] == 3 and r["min_v"] == 1.0 and r["max_v"] == 99.0
