@@ -48,7 +48,7 @@ def _spatial_dfs(spark, images_path):
     from gjspark.operators.cells import with_cell_columns
     from gjspark.operators.multimodal import decode_stats
     from gjspark.operators.spatial_join import knn_join, pip_join
-    from gjspark.operators.tiling import cell_tile_rollup
+    from gjspark.operators.tiling import cell_mosaic, cell_tile_rollup
     from gjspark.plans.pipeline import feature_locations
     from gjspark.sources.geojson import read_feature_collection
 
@@ -61,12 +61,13 @@ def _spatial_dfs(spark, images_path):
     features = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
     return {
         "images": images,
-        "features": features,
-        "locations": feature_locations(features),
+        "features": features.persist(),
+        "locations": feature_locations(features).persist(),
         "decode": decode_stats,
         "pip": pip_join,
         "knn": knn_join,
         "rollup": cell_tile_rollup,
+        "mosaic": cell_mosaic,
     }
 
 
@@ -97,6 +98,7 @@ def run_bench(
         "pip": lambda: d["pip"](images, d["features"]).count(),
         "knn": lambda: d["knn"](images, d["locations"]).count(),
         "tile_rollup": lambda: d["rollup"](images).collect(),
+        "mosaic": lambda: d["mosaic"](images).count(),
     }
     if reps > 1:  # scaling mode: warm codegen + python workers first
         for fn in stages.values():

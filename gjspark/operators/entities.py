@@ -175,3 +175,100 @@ def nuts_config() -> list[CreatorConfig]:
             template_cache_key="{type}-{NUTS_ID}",
         ),
     ]
+
+
+# ---------------------------------------------------------------------------
+# FK resolution (J4): relationships as key joins
+# ---------------------------------------------------------------------------
+
+
+def resolve_fk(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str = "cache_key",
+    parent_id: str = "entity_id",
+    fk_name: str | None = None,
+) -> DataFrame:
+    """Resolve a rendered key column to the parent's entity id by
+    broadcast equi-join (the reference finds parents via rendered cache
+    keys: ``geojson/CreatorDatastream.java:201-203``,
+    ``geojson/CreatorObservation.java:181-187``). Unresolved keys keep a
+    NULL fk — the caller decides drop vs fail."""
+    fk_name = fk_name or f"{child_key}_id"
+    p = F.broadcast(
+        parent.select(
+            F.col(parent_key).alias("__pk"), F.col(parent_id).alias(fk_name)
+        ).dropDuplicates(["__pk"])
+    )
+    return child.join(p, child[child_key] == p["__pk"], "left").drop("__pk")
+
+
+def sensorthings_graph(
+    features: DataFrame,
+    configs: dict[str, CreatorConfig],
+    snapshots: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Build the full SensorThings entity graph from a features DF:
+    Location -> Thing (linked) -> Datastream (FKs to Thing/Sensor/
+    ObservedProperty) -> Observation (FK to Datastream), all as
+    find-or-create upserts + broadcast FK joins — the distributed
+    translation of the reference's fixed per-feature creator order
+    (``geojson/GeoJsonConverter.java:211-236``)."""
+    from gjspark.operators.upsert import find_or_create
+
+    snapshots = snapshots or {}
+    out: dict[str, DataFrame] = {}
+    for etype in (
+        "Location", "Thing", "Sensor", "ObservedProperty", "Datastream",
+        "Observation",
+    ):
+        cfg = configs.get(etype)
+        if cfg is None or not cfg.configured:
+            continue
+        ents = create_entities(features, cfg)
+        if etype != "Observation":
+            # cache semantics: the first feature creates the entity, later
+            # features with the same rendered key reuse it
+            # (utils/EntityCache.java:124-127) -> keep-first dedup
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("cache_key").orderBy("feature_idx")
+            ents = (
+                ents.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        ents = find_or_create(
+            ents, snapshots.get(etype), etype, check_ambiguous=False
+        )
+        if etype == "Thing" and "Location" in out:
+            ents = resolve_fk(
+                ents,
+                out["Location"].select("cache_key", "entity_id"),
+                child_key="cache_key",
+                fk_name="location_id",
+            )
+        if etype == "Datastream":
+            for parent, key_col in (
+                ("Thing", "thing_key"),
+                ("Sensor", "sensor_key"),
+                ("ObservedProperty", "obs_prop_key"),
+            ):
+                if parent in out and key_col in ents.columns:
+                    ents = resolve_fk(
+                        ents,
+                        out[parent].select("cache_key", "entity_id"),
+                        child_key=key_col,
+                        fk_name=f"{parent.lower()}_id",
+                    )
+        if etype == "Observation" and "Datastream" in out:
+            if "datastream_key" in ents.columns:
+                ents = resolve_fk(
+                    ents,
+                    out["Datastream"].select("cache_key", "entity_id"),
+                    child_key="datastream_key",
+                    fk_name="datastream_id",
+                )
+        out[etype] = ents
+    return out

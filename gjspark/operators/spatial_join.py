@@ -192,7 +192,137 @@ def _choose_knn_res(loc_lat: np.ndarray, loc_lon: np.ndarray) -> int:
     return h3x.MAX_RES
 
 
+def knn_join_map(
+    images: DataFrame,
+    locations: DataFrame,
+    res: int | None = None,
+    k_schedule: tuple[int, ...] = (0, 1, 2, 4, 8),
+) -> DataFrame:
+    """Map-only cell-local kNN: sorted k-ring expansion executed inside one
+    ``mapInPandas`` pass against a broadcast cell->locations index.
+
+    The default kNN path. Locations are the dimension side (broadcast —
+    exactly the reference's entity-cache pattern); each Arrow batch:
+
+    1. index query points at ``res`` and group by cell,
+    2. per distinct cell, expand rings k = 0, 1, 2, 4, 8 gathering
+       candidate locations from the broadcast index,
+    3. accept the running best at distance d iff d <= k*inradius*0.8 AND
+       d <= face-boundary margin (rings never cross icosahedron faces),
+    4. whatever stays unprovable gets an exact brute-force pass against
+       the full location array (vectorized, still in the same kernel).
+
+    Zero shuffles => scales linearly with executors at any image count;
+    output equals the brute-force oracle row-for-row (tested). For
+    location sets too big to broadcast, use :func:`knn_join_cellwise`.
+    """
+    spark = images.sparkSession
+    loc_rows = locations.select("location_id", "lat", "lon").collect()
+    loc_ids = np.array([r["location_id"] for r in loc_rows])
+    loc_lat = np.array([r["lat"] for r in loc_rows], dtype=float)
+    loc_lon = np.array([r["lon"] for r in loc_rows], dtype=float)
+    order = np.argsort(loc_ids)
+    loc_ids, loc_lat, loc_lon = loc_ids[order], loc_lat[order], loc_lon[order]
+
+    if res is None:
+        res = _choose_knn_res(loc_lat, loc_lon)
+    inradius_m = 0.866 * h3x.h3_edge_length_m(res)
+
+    loc_cells = h3x.h3_index(loc_lat, loc_lon, res)
+    cell_index: dict[int, np.ndarray] = {}
+    for i, c in enumerate(loc_cells):
+        cell_index.setdefault(int(c), []).append(i)
+    cell_index = {c: np.array(v, dtype=np.int64) for c, v in cell_index.items()}
+    bc = spark.sparkContext.broadcast(
+        (loc_ids, loc_lat, loc_lon, cell_index, res, inradius_m, tuple(k_schedule))
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("nearest_location_id", T.StringType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, lat_b, lon_b, index_b, res_b, inr_b, ks = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            qla = pdf["lat"].to_numpy(dtype=float)
+            qlo = pdf["lon"].to_numpy(dtype=float)
+            cells = h3x.h3_index(qla, qlo, res_b)
+            margin = h3x.face_boundary_margin_m(qla, qlo)
+            best_d = np.full(n, np.inf)
+            best_i = np.full(n, -1, dtype=np.int64)
+            resolved = np.zeros(n, dtype=bool)
+            uniq, inv = np.unique(cells, return_inverse=True)
+            rings = {k: h3x.h3_kring(uniq, k) for k in ks}
+            for g, cell in enumerate(uniq):
+                rows = np.nonzero(inv == g)[0]
+                seen_cand = 0
+                for k in ks:
+                    ring_cells = rings[k][g]
+                    cand = [index_b[int(c)] for c in ring_cells if int(c) in index_b]
+                    cand = (
+                        np.concatenate(cand) if cand else np.zeros(0, dtype=np.int64)
+                    )
+                    if len(cand) > seen_cand:
+                        act = rows[~resolved[rows]]
+                        if not len(act):
+                            break
+                        d = G.haversine_m(
+                            qla[act, None], qlo[act, None],
+                            lat_b[cand][None, :], lon_b[cand][None, :],
+                        )
+                        jmin = d.argmin(axis=1)
+                        dmin = d[np.arange(len(act)), jmin]
+                        upd = dmin < best_d[act]
+                        best_d[act] = np.where(upd, dmin, best_d[act])
+                        best_i[act] = np.where(upd, cand[jmin], best_i[act])
+                        seen_cand = len(cand)
+                    guarantee = k * inr_b * 0.8
+                    ok = (
+                        (best_d[rows] <= guarantee)
+                        & (best_d[rows] <= margin[rows])
+                        & (best_i[rows] >= 0)
+                    )
+                    resolved[rows] = resolved[rows] | ok
+                    if resolved[rows].all():
+                        break
+            rest = np.nonzero(~resolved)[0]
+            if len(rest):  # exact fallback, vectorized
+                d = G.haversine_m(
+                    qla[rest, None], qlo[rest, None],
+                    lat_b[None, :], lon_b[None, :],
+                )
+                jmin = d.argmin(axis=1)
+                best_i[rest] = jmin
+                best_d[rest] = d[np.arange(len(rest)), jmin]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "nearest_location_id": ids_b[best_i],
+                    "dist_m": best_d,
+                }
+            )
+
+    return images.select("image_id", "lat", "lon").mapInPandas(run, schema)
+
+
 def knn_join(
+    images: DataFrame,
+    locations: DataFrame,
+    res: int | None = None,
+    k_schedule: tuple[int, ...] = (1, 3),
+) -> DataFrame:
+    """Default kNN entry point: map-only broadcast ring expansion."""
+    return knn_join_map(images, locations, res=res)
+
+
+def knn_join_cellwise(
     images: DataFrame,
     locations: DataFrame,
     res: int | None = None,

@@ -1,21 +1,27 @@
-"""Raster<->vector tiling join with salted repartitioning for hot cells
-(J7, north rule).
+"""Raster<->vector tiling join (J7, north rule) with explicit hot-cell
+skew handling.
 
-Pipeline: images (with a cell column) -> decode in ``mapInPandas`` ->
-explode into fixed-size pixel tiles -> per-cell aggregation. A cell
-histogram drives explicit skew salting: hot cells (the fixture plants ~10%
-of rows in one cell) get ``n_salt = next_pow2(count / target)`` salts;
-``salt = pmod(xxhash64(image_id), n_salt)`` spreads them, partial
-aggregates run per (cell, salt), and a second JVM-side ``groupBy(cell)``
-merges partials — outputs are provably identical to the unsalted plan
-because every per-cell statistic chosen is a commutative monoid (sums,
-counts, XOR of phashes, min/max). AQE skew-join handles residual skew; the
-explicit salt keeps the *Python UDF* stage balanced too, which AQE cannot
-split on its own.
+Two plans, chosen by what the aggregate needs:
 
-At 10^12-image scale the histogram itself is a cheap two-column
+- :func:`cell_tile_rollup` — per-cell tile *statistics*. Decode + tile
+  math run map-side on the scan partitioning (balanced by row count, so
+  cell skew cannot touch the Python stage); the only shuffle carries tiny
+  per-image stat rows into a partial-aggregated ``groupBy(cell)``. This
+  is the plan shape to prefer whenever the per-cell result is a
+  commutative monoid.
+
+- :func:`cell_mosaic` — per-cell tile *materialization* (mean-thumbnail
+  mosaic). Here every member tile must meet in one place, so the shuffle
+  key is the cell and skew bites: a cell histogram (:func:`salt_map`)
+  drives ``salt = pmod(xxhash64(image_id), n_salt)``; (cell, salt) groups
+  build integer pixel-sum partials and a second tiny ``groupBy(cell)``
+  merge adds them. Integer accumulation makes salted output byte-identical
+  to unsalted (tested). AQE can split skewed *shuffle partitions* but not
+  a skewed ``applyInPandas`` group — hence the explicit salt.
+
+At 10^12-image scale the histogram is a cheap two-column
 ``groupBy(cell).count()`` over the (pruned) cell column, and the salt map
-is broadcast — no driver-side data beyond (distinct hot cells).
+is broadcast — driver holds only the hot-cell list.
 """
 
 from __future__ import annotations
@@ -194,33 +200,20 @@ def salt_map(
 def cell_tile_rollup(
     images: DataFrame,
     cell_col: str = "h3_r7",
-    target_rows_per_salt: int = 2000,
 ) -> DataFrame:
-    """Per-cell tile statistics with two-phase salted aggregation.
+    """Per-cell tile statistics, shuffle-minimal.
 
     -> (cell, n_images, n_tiles, mean_tile_luma, phash_xor, min_tile_mean,
-        max_tile_mean). ``phash_xor`` is an order-independent per-cell
-    checksum (XOR of member image phashes) used by tests to prove salted
-    == unsalted results.
+        max_tile_mean). Decode + per-image tile stats run map-side on the
+    input partitioning (balanced by row count regardless of cell skew);
+    the only shuffle carries the tiny per-image stat rows into a
+    partial-aggregated ``groupBy(cell)``. Hot cells therefore cannot skew
+    this plan at all — salting is only needed when a cell's tiles must be
+    *materialized together*, which is :func:`cell_mosaic`'s job.
+    ``phash_xor`` is an order-independent per-cell checksum used by tests.
     """
-    salts = salt_map(images, cell_col, target_rows_per_salt)
-    imgs = (
-        images.join(F.broadcast(salts), images[cell_col] == salts["cell"], "left")
-        .drop(salts["cell"])
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("n_salt").isNotNull(),
-                F.pmod(F.xxhash64("image_id"), F.col("n_salt")),
-            ).otherwise(F.lit(0)),
-        )
-    )
-    # phase 1: vectorized per-image tile stats; the salted repartition keeps
-    # the *decode UDF* stage balanced (AQE can split shuffle partitions but
-    # not a skewed Python-worker stage)
-    per_image = image_tile_stats(
-        imgs.repartition(F.col(cell_col), F.col("salt")), cell_col
-    )
+    # phase 1: vectorized per-image tile stats on the scan partitioning
+    per_image = image_tile_stats(images, cell_col)
     # phase 2: merge partials per cell (all commutative monoids)
     xor_agg = F.expr(
         "aggregate(collect_list(phash), cast(0 as bigint), (a, x) -> a ^ x)"
@@ -232,4 +225,106 @@ def cell_tile_rollup(
         xor_agg.alias("phash_xor"),
         F.min("min_tm").alias("min_tile_mean"),
         F.max("max_tm").alias("max_tile_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-cell mosaic: the operator that genuinely needs salted repartitioning
+# ---------------------------------------------------------------------------
+
+MOSAIC_SIZE = 32
+
+_MOSAIC_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("pix_sum", T.BinaryType()),  # int64[32*32*3] LE
+    ]
+)
+
+_MOSAIC_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.LongType()),
+        T.StructField("n_images", T.LongType()),
+        T.StructField("mosaic", T.BinaryType()),  # uint8 (32, 32, 3)
+    ]
+)
+
+
+def cell_mosaic(
+    images: DataFrame,
+    cell_col: str = "h3_r7",
+    target_rows_per_salt: int = 2000,
+) -> DataFrame:
+    """Per-cell mean-thumbnail mosaic (raster<->vector tiling join, J7).
+
+    This op must bring *all* of a cell's decoded tiles together, so the
+    shuffle key is the cell — exactly where hot-cell skew bites (the
+    fixture plants ~10% of all images in one cell). The explicit salt
+    ``pmod(xxhash64(image_id), n_salt)`` (histogram-driven, §salt_map)
+    splits hot cells across ``n_salt`` tasks; each (cell, salt) group
+    computes an integer pixel-sum partial, and a second tiny
+    ``groupBy(cell)`` merge adds the partials. Integer accumulation makes
+    salted output byte-identical to unsalted (tested) — float means would
+    not commute.
+    """
+    from gjspark.functions.codecs import _resize_matrix
+
+    salts = salt_map(images, cell_col, target_rows_per_salt)
+    imgs = (
+        images.select("image_id", F.col(cell_col).alias("cell"), "bytes", "fmt")
+        .join(F.broadcast(salts), "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salt").isNotNull(),
+                F.pmod(F.xxhash64("image_id"), F.col("n_salt")),
+            ).otherwise(F.lit(0)),
+        )
+    )
+
+    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rm_cache: dict[int, np.ndarray] = {}
+        acc = np.zeros((MOSAIC_SIZE, MOSAIC_SIZE, 3), dtype=np.int64)
+        n = 0
+        for b, f in zip(pdf["bytes"], pdf["fmt"]):
+            try:
+                img = C.decode_image(bytes(b), f)
+            except (ValueError, NotImplementedError):
+                continue
+            h, w, _ = img.shape
+            if h not in rm_cache:
+                rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE)
+            if w not in rm_cache:
+                rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE)
+            thumb = np.einsum(
+                "ah,hwc,wb->abc", rm_cache[h], img.astype(np.float64), rm_cache[w].T
+            )
+            # integer partial: rounding once per image keeps the per-cell
+            # sum independent of salt grouping
+            acc += np.clip(np.round(thumb), 0, 255).astype(np.int64)
+            n += 1
+        return pd.DataFrame(
+            [{"cell": key[0], "n": n, "pix_sum": acc.tobytes()}]
+        )
+
+    partials = imgs.repartition(F.col("cell"), F.col("salt")).groupBy(
+        "cell", "salt"
+    ).applyInPandas(lambda key, pdf: partial(key, pdf), _MOSAIC_PARTIAL_SCHEMA)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(MOSAIC_SIZE * MOSAIC_SIZE * 3, dtype=np.int64)
+        n = 0
+        for b, cnt in zip(pdf["pix_sum"], pdf["n"]):
+            total += np.frombuffer(bytes(b), dtype=np.int64)
+            n += int(cnt)
+        mosaic = (
+            (total // max(n, 1)).clip(0, 255).astype(np.uint8).tobytes()
+        )
+        return pd.DataFrame(
+            [{"cell": key[0], "n_images": n, "mosaic": mosaic}]
+        )
+
+    return partials.groupBy("cell").applyInPandas(
+        lambda key, pdf: merge(key, pdf), _MOSAIC_SCHEMA
     )

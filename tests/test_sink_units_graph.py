@@ -1,0 +1,133 @@
+"""Batched sink (S6), delete (S7), unit conversion (P11), entity graph
+FK resolution (J4)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gjspark.operators.entities import (
+    CreatorConfig,
+    resolve_fk,
+    sensorthings_graph,
+)
+from gjspark.operators.sink import (
+    batch_observations,
+    count_errors,
+    delete_by_ids,
+    op_metrics,
+)
+from gjspark.operators.units import conversion_table, convert_units
+from gjspark.sources.geojson import read_feature_collection
+
+
+@pytest.fixture()
+def obs(spark):
+    t = dt.datetime(2024, 3, 1)
+    rows = [
+        (f"o{i:03d}", f"ds{i % 3}", t + dt.timedelta(minutes=i), float(i))
+        for i in range(250)
+    ]
+    return spark.createDataFrame(
+        rows, "obs_id string, ds_key string, t_start timestamp, value double"
+    )
+
+
+class TestSink:
+    def test_batching(self, obs):
+        b = batch_observations(obs, max_batch=30).toPandas()
+        # ~84 per stream -> 3 batches each
+        assert set(b["ds_key"]) == {"ds0", "ds1", "ds2"}
+        assert b.groupby("ds_key")["batch_no"].max().max() == 2
+        assert b["n_obs"].sum() == 250
+        assert (b[b.batch_no < 2]["n_obs"] == 30).all()
+        # deterministic across reruns
+        b2 = batch_observations(obs, max_batch=30).toPandas()
+        m = b.sort_values(["ds_key", "batch_no"]).reset_index(drop=True)
+        m2 = b2.sort_values(["ds_key", "batch_no"]).reset_index(drop=True)
+        assert (m["obs_ids"].map(tuple) == m2["obs_ids"].map(tuple)).all()
+
+    def test_metrics_and_errors(self, spark):
+        df = spark.createDataFrame(
+            [("a", "create"), ("b", "update"), ("c", "create")], "id string, op string"
+        )
+        m = {r["op"]: r["n"] for r in op_metrics(df).collect()}
+        assert m == {"create": 2, "update": 1}
+        resp = spark.createDataFrame(
+            [("ok",), ("error 400",), ("ok",), ("error dup",)], "status string"
+        )
+        assert count_errors(resp) == 2
+
+    def test_delete(self, obs, spark):
+        ids = spark.createDataFrame([("o000",), ("o001",)], "obs_id string")
+        left = delete_by_ids(obs, ids)
+        assert left.count() == 248
+        assert left.filter(F.col("obs_id").isin("o000", "o001")).count() == 0
+
+
+class TestUnits:
+    def test_convert_and_inverse(self, spark):
+        table = conversion_table(spark, {("km", "m"): 1000.0, ("degC", "K"): 1.0})
+        df = spark.createDataFrame(
+            [(1.5, "km"), (2000.0, "m"), (5.0, "mi")], "value double, unit string"
+        )
+        out = {
+            r["unit"]: r["value_converted"]
+            for r in convert_units(df, table, to_unit="m").collect()
+        }
+        assert out["km"] == 1500.0
+        assert out["m"] == 2000.0  # same unit -> identity
+        assert out["mi"] is None  # unknown pair -> null
+        # inverse direction synthesized
+        df2 = spark.createDataFrame([(3000.0, "m")], "value double, unit string")
+        got = convert_units(df2, table, to_unit="km").collect()[0]["value_converted"]
+        assert got == 3.0
+
+
+class TestEntityGraph:
+    def test_fk_resolution_and_graph(self, spark, fixtures_dir):
+        feats = read_feature_collection(spark, f"{fixtures_dir}/features_nuts.geojson")
+        configs = {
+            "Location": CreatorConfig(
+                entity_type="Location",
+                template_name="{NUTS_NAME}",
+                template_cache_key="{type}-{NUTS_ID}",
+                with_geometry=True,
+            ),
+            "Thing": CreatorConfig(
+                entity_type="Thing",
+                template_name="{NUTS_NAME}",
+                template_cache_key="{type}-{NUTS_ID}",
+            ),
+            "Sensor": CreatorConfig(
+                entity_type="Sensor",
+                template_name="sensor-{CNTR_CODE}",
+                template_cache_key="sensor-{CNTR_CODE}",
+            ),
+            "Datastream": CreatorConfig(
+                entity_type="Datastream",
+                template_name="ds {NUTS_ID}",
+                template_cache_key="ds-{NUTS_ID}",
+                extra_templates={
+                    "thing_key": "{type}-{NUTS_ID}",
+                    "sensor_key": "sensor-{CNTR_CODE}",
+                },
+            ),
+        }
+        graph = sensorthings_graph(feats, configs)
+        assert set(graph) == {"Location", "Thing", "Sensor", "Datastream"}
+        ds = graph["Datastream"].toPandas()
+        assert ds["thing_id"].notna().all()
+        assert ds["sensor_id"].notna().all()
+        # FK ids actually belong to the parent tables
+        things = set(graph["Thing"].toPandas()["entity_id"])
+        assert set(ds["thing_id"]).issubset(things)
+        # 4 distinct sensors (one per country code)
+        assert graph["Sensor"].count() == 4
+        assert ds["sensor_id"].nunique() == 4
+
+    def test_resolve_fk_null_on_missing(self, spark):
+        child = spark.createDataFrame([("c1", "K1"), ("c2", "KX")], "id string, pkey string")
+        parent = spark.createDataFrame([("K1", "P1")], "cache_key string, entity_id string")
+        out = {r["id"]: r["pkey_id"] for r in resolve_fk(child, parent, "pkey").collect()}
+        assert out == {"c1": "P1", "c2": None}

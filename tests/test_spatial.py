@@ -104,26 +104,38 @@ def test_decode_invariants(images, fixtures_dir):
     assert list(stats.sort_values("image_id")["caption"]) == expected_caps
 
 
-def test_tiling_salted_equals_unsalted(images):
+def test_mosaic_salted_equals_unsalted(images):
+    from gjspark.operators.tiling import cell_mosaic, salt_map
+
+    # the fixture's hot cell must actually trigger salting
+    sm = salt_map(images, target_rows_per_salt=200).toPandas()
+    assert len(sm) > 0 and sm["n_salt"].max() >= 4
+
     salted = (
-        cell_tile_rollup(images, target_rows_per_salt=200)
+        cell_mosaic(images, target_rows_per_salt=200)
         .toPandas()
         .sort_values("cell")
         .reset_index(drop=True)
     )
     unsalted = (
-        cell_tile_rollup(images, target_rows_per_salt=10**9)
+        cell_mosaic(images, target_rows_per_salt=10**9)
         .toPandas()
         .sort_values("cell")
         .reset_index(drop=True)
     )
     assert len(salted) == len(unsalted)
-    for col in ["cell", "n_images", "n_tiles", "phash_xor"]:
-        assert (salted[col].to_numpy() == unsalted[col].to_numpy()).all(), col
-    assert np.allclose(salted["mean_tile_luma"], unsalted["mean_tile_luma"])
-    # totals
-    total_imgs = int(salted["n_images"].sum())
-    assert total_imgs == images.count()
+    assert (salted["cell"].to_numpy() == unsalted["cell"].to_numpy()).all()
+    assert (salted["n_images"].to_numpy() == unsalted["n_images"].to_numpy()).all()
+    # integer partial sums make the mosaics byte-identical
+    for a, b in zip(salted["mosaic"], unsalted["mosaic"]):
+        assert bytes(a) == bytes(b)
+    assert int(salted["n_images"].sum()) == images.count()
+
+
+def test_rollup_totals(images):
+    roll = cell_tile_rollup(images).toPandas()
+    assert int(roll["n_images"].sum()) == images.count()
+    assert (roll["n_tiles"] >= roll["n_images"]).all()
 
 
 def test_tiling_counts_match_pixel_math(images):
