@@ -18,11 +18,25 @@ import sys
 import time
 
 
+def load_config(path: str) -> dict:
+    """JSON job-config round-trip (reference S8,
+    ``GeoJsonImportController.java:116-129`` loads / ``:277-304`` saves a
+    GSON config tree; ours is a plain JSON dict of job parameters)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_config(cfg: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(cfg, f, indent=2, sort_keys=True)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--images", required=True)
-    p.add_argument("--features", required=True)
-    p.add_argument("--out", required=True)
+    p.add_argument("--config", default=None, help="JSON config file; CLI overrides")
+    p.add_argument("--images")
+    p.add_argument("--features")
+    p.add_argument("--out")
     p.add_argument("--job-id", default="gjspark-job")
     p.add_argument("--master", default=None)
     p.add_argument("--resume", action="store_true")
@@ -31,6 +45,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="build plans, print schemas, skip writes (parity: "
                    "the reference's noAct flag, StaService.java:106-128)")
     args = p.parse_args(argv)
+    if args.config:
+        cfg = load_config(args.config)
+        for k, v in cfg.items():
+            k2 = k.replace("-", "_")
+            if getattr(args, k2, None) in (None, False):
+                setattr(args, k2, v)
+    for req in ("images", "features"):
+        if not getattr(args, req):
+            p.error(f"--{req} is required (CLI or --config)")
+    if not args.out and not args.dry_run:
+        p.error("--out is required (CLI or --config)")
 
     from gjspark.plans.pipeline import build_pipeline, run_pipeline
     from gjspark.session import get_spark
