@@ -330,6 +330,17 @@ def q_tile_rollup(spark, sf_dir):
     return cell_tile_rollup(imgs).select("cell", "n_images", "n_tiles", "phash_xor")
 
 
+def q_mosaic(spark, sf_dir):
+    """Salted per-cell mosaic (J7): checkable part = per-cell image counts
+    (mosaic bytes verified by the salted==unsalted pytest instead)."""
+    from gjspark.operators.cells import with_cell_columns
+    from gjspark.operators.tiling import cell_mosaic
+
+    fx = _fixtures()
+    imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
+    return cell_mosaic(imgs).select("cell", "n_images")
+
+
 def q_preview(spark, sf_dir):
     from gjspark.operators.entities import nuts_config, preview
     from gjspark.sources.geojson import read_feature_collection
@@ -404,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn": q_knn,
         "q_decode": q_decode,
         "q_tile_rollup": q_tile_rollup,
+        "q_mosaic": q_mosaic,
         "q_preview": q_preview,
         "q_upsert": q_upsert,
         "q_csv_points": q_csv_points,
@@ -533,6 +545,11 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(i.phash) AS phash_xor
             FROM read_parquet('{fx}/images_sf_e2e.parquet') i
             JOIN read_parquet('{fx}/expected_cells.parquet') c USING (image_id)
+            GROUP BY 1
+        """,
+        "q_mosaic": f"""
+            SELECT h3_r7 AS cell, count(*) AS n_images
+            FROM read_parquet('{fx}/expected_cells.parquet')
             GROUP BY 1
         """,
         "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",

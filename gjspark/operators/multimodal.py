@@ -136,11 +136,12 @@ def resize_images(images: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
                         _resize_matrix(key[1], out_w),
                     )
                 A, B = rm_cache[key]
-                small = np.clip(
-                    np.einsum("ah,hwc,wb->abc", A, img.astype(np.float64), B.T),
-                    0,
-                    255,
-                ).astype(np.uint8)
+                cf = img.transpose(2, 0, 1).astype(np.float64)  # (3, h, w)
+                small = (
+                    np.clip(A @ cf @ B.T, 0, 255)
+                    .astype(np.uint8)
+                    .transpose(1, 2, 0)
+                )
                 ids.append(iid)
                 blobs.append(small.tobytes())
             if ids:

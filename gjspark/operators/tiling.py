@@ -287,23 +287,30 @@ def cell_mosaic(
         rm_cache: dict[int, np.ndarray] = {}
         acc = np.zeros((MOSAIC_SIZE, MOSAIC_SIZE, 3), dtype=np.int64)
         n = 0
+        by_shape: dict[tuple, list[np.ndarray]] = {}
         for b, f in zip(pdf["bytes"], pdf["fmt"]):
             try:
                 img = C.decode_image(bytes(b), f)
             except (ValueError, NotImplementedError):
                 continue
-            h, w, _ = img.shape
+            by_shape.setdefault(img.shape, []).append(img)
+        for (h, w, _c), imgs in by_shape.items():
             if h not in rm_cache:
                 rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE)
             if w not in rm_cache:
                 rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE)
-            thumb = np.einsum(
-                "ah,hwc,wb->abc", rm_cache[h], img.astype(np.float64), rm_cache[w].T
-            )
+            # (n, 3, h, w) channel-first -> two BLAS matmuls, batched
+            stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float64)
+            thumbs = rm_cache[h] @ stack @ rm_cache[w].T  # (n, 3, 32, 32)
             # integer partial: rounding once per image keeps the per-cell
             # sum independent of salt grouping
-            acc += np.clip(np.round(thumb), 0, 255).astype(np.int64)
-            n += 1
+            acc += (
+                np.clip(np.round(thumbs), 0, 255)
+                .astype(np.int64)
+                .sum(axis=0)
+                .transpose(1, 2, 0)
+            )
+            n += len(imgs)
         return pd.DataFrame(
             [{"cell": key[0], "n": n, "pix_sum": acc.tobytes()}]
         )

@@ -78,6 +78,23 @@ def test_knn_matches_golden(images, locations, fixtures_dir):
     assert np.allclose(m["dist_m_got"], m["dist_m_exp"], atol=0.01)
 
 
+def test_knn_cellwise_variant_matches_golden(images, locations, fixtures_dir):
+    """The shuffle-join variant (for non-broadcastable location sets) must
+    agree with the map-only default and the oracle."""
+    from gjspark.operators.spatial_join import knn_join_cellwise
+
+    got = (
+        knn_join_cellwise(images.limit(5000), locations)
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.read_parquet(f"{fixtures_dir}/expected_knn.parquet")
+    m = got.merge(exp, on="image_id", suffixes=("_got", "_exp"))
+    assert len(m) == len(got)
+    assert (m["nearest_location_id_got"] == m["nearest_location_id_exp"]).all()
+
+
 def test_decode_invariants(images, fixtures_dir):
     stats = decode_stats(images).toPandas().sort_values("image_id").reset_index(drop=True)
     exp = (
