@@ -335,3 +335,86 @@ def cell_mosaic(
     return partials.groupBy("cell").applyInPandas(
         lambda key, pdf: merge(key, pdf), _MOSAIC_SCHEMA
     )
+
+
+def cell_mosaic_mapcombine(
+    images: DataFrame, cell_col: str = "h3_r7"
+) -> DataFrame:
+    """Map-side-combine mosaic: each input partition computes per-cell
+    integer partial sums locally (``mapInPandas``), so the shuffle carries
+    one ~25 KB partial per (cell x partition) instead of raw image bytes,
+    and skew cannot form (partials are bounded by the partition's distinct
+    cells). Byte-identical to :func:`cell_mosaic` (integer accumulation
+    commutes); prefer this plan whenever per-partition distinct-cell
+    counts are modest — the salted variant remains for adversarial layouts
+    where a single *partition* would still hold too many distinct cells'
+    worth of partials.
+    """
+    from gjspark.functions.codecs import _resize_matrix
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rm_cache: dict[int, np.ndarray] = {}
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for pdf in batches:
+            by_shape: dict[tuple, tuple[list, list]] = {}
+            for cell, b, f in zip(pdf["cell"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    img = C.decode_image(bytes(b), f)
+                except (ValueError, NotImplementedError):
+                    continue
+                grp = by_shape.setdefault(img.shape, ([], []))
+                grp[0].append(img)
+                grp[1].append(int(cell))
+            for (h, w, _c), (imgs, cells) in by_shape.items():
+                if h not in rm_cache:
+                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE)
+                if w not in rm_cache:
+                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE)
+                stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float64)
+                thumbs = np.clip(
+                    np.round(rm_cache[h] @ stack @ rm_cache[w].T), 0, 255
+                ).astype(np.int64)  # (n, 3, 32, 32)
+                for t, cell in zip(thumbs, cells):
+                    if cell not in acc:
+                        acc[cell] = np.zeros(
+                            (MOSAIC_SIZE, MOSAIC_SIZE, 3), dtype=np.int64
+                        )
+                        cnt[cell] = 0
+                    acc[cell] += t.transpose(1, 2, 0)
+                    cnt[cell] += 1
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "cell": list(acc.keys()),
+                    "n": [cnt[c] for c in acc],
+                    "pix_sum": [acc[c].tobytes() for c in acc],
+                }
+            )
+
+    parts = images.select(
+        F.col(cell_col).alias("cell"), "bytes", "fmt"
+    ).mapInPandas(partials, _MOSAIC_PARTIAL_SCHEMA)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros(MOSAIC_SIZE * MOSAIC_SIZE * 3, dtype=np.int64)
+        n = 0
+        for b, c in zip(pdf["pix_sum"], pdf["n"]):
+            total += np.frombuffer(bytes(b), dtype=np.int64)
+            n += int(c)
+        return pd.DataFrame(
+            [
+                {
+                    "cell": key[0],
+                    "n_images": n,
+                    "mosaic": (total // max(n, 1))
+                    .clip(0, 255)
+                    .astype(np.uint8)
+                    .tobytes(),
+                }
+            ]
+        )
+
+    return parts.groupBy("cell").applyInPandas(
+        lambda key, pdf: merge(key, pdf), _MOSAIC_SCHEMA
+    )

@@ -163,3 +163,24 @@ def test_tiling_counts_match_pixel_math(images):
         (np.ceil(pdf["w"] / tile) * np.ceil(pdf["h"] / tile)).sum()
     )
     assert roll == exp
+
+
+def test_mosaic_mapcombine_equals_salted(images):
+    from gjspark.operators.tiling import cell_mosaic, cell_mosaic_mapcombine
+
+    a = (
+        cell_mosaic(images.limit(8000), target_rows_per_salt=500)
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    b = (
+        cell_mosaic_mapcombine(images.limit(8000))
+        .toPandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert (a["cell"].to_numpy() == b["cell"].to_numpy()).all()
+    assert (a["n_images"].to_numpy() == b["n_images"].to_numpy()).all()
+    for x, y in zip(a["mosaic"], b["mosaic"]):
+        assert bytes(x) == bytes(y)
