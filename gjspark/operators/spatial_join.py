@@ -97,8 +97,11 @@ def polygon_cover(features: DataFrame, res: int) -> DataFrame:
                 )
 
     return (
-        features.select("feature_id", "geometry")
+        features.select("feature_id", "geometry", "geom_type")
         .filter(F.col("geom_type").isin("Polygon", "MultiPolygon"))
+        # a FeatureCollection parses as one task per *file*; cover math is
+        # per-polygon CPU, so spread polygons across the cluster first
+        .repartition(32, "feature_id")
         .mapInPandas(gen, _COVER_SCHEMA)
     )
 
@@ -247,6 +250,23 @@ def knn_join_map(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_b, lat_b, lon_b, index_b, res_b, inr_b, ks = bc.value
+        # per-cell ring-candidate cache: cells repeat heavily across
+        # batches, and ring lookups are the kernel's only Python-side loop
+        cand_cache: dict[tuple[int, int], np.ndarray] = {}
+
+        def candidates(cell: int, k: int, ring_cells) -> np.ndarray:
+            key = (cell, k)
+            hit = cand_cache.get(key)
+            if hit is None:
+                found = [index_b[int(c)] for c in ring_cells if int(c) in index_b]
+                hit = (
+                    np.concatenate(found)
+                    if found
+                    else np.zeros(0, dtype=np.int64)
+                )
+                cand_cache[key] = hit
+            return hit
+
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -264,11 +284,7 @@ def knn_join_map(
                 rows = np.nonzero(inv == g)[0]
                 seen_cand = 0
                 for k in ks:
-                    ring_cells = rings[k][g]
-                    cand = [index_b[int(c)] for c in ring_cells if int(c) in index_b]
-                    cand = (
-                        np.concatenate(cand) if cand else np.zeros(0, dtype=np.int64)
-                    )
+                    cand = candidates(int(cell), k, rings[k][g])
                     if len(cand) > seen_cand:
                         act = rows[~resolved[rows]]
                         if not len(act):
