@@ -36,6 +36,9 @@ _BENCH_IMAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 def _bench_images_path() -> str:
     from gjspark.fixtures.generator import ensure_bench_images
 
+    n_env = os.environ.get("SPARK_GRAFT_BENCH_N")
+    if n_env:
+        return ensure_bench_images(int(n_env))
     tag = os.path.basename(SF_DIR.rstrip("/"))
     n = _BENCH_IMAGES.get(tag, 20_000)
     return ensure_bench_images(n)
@@ -164,6 +167,12 @@ def run_scaling(levels=(2, 8, 32), reps: int = 2) -> None:
     bandwidth ceiling, which separate cluster nodes would not share).
     """
     results = {}
+    env = dict(
+        os.environ,
+        # larger input for scaling: amortizes per-stage fixed costs so the
+        # measurement reflects throughput, not job-scheduling constants
+        SPARK_GRAFT_BENCH_N=os.environ.get("SPARK_GRAFT_BENCH_N", "500000"),
+    )
     for threads in levels:
         out = subprocess.run(
             [
@@ -178,6 +187,7 @@ def run_scaling(levels=(2, 8, 32), reps: int = 2) -> None:
             capture_output=True,
             text=True,
             cwd=REPO,
+            env=env,
         )
         line = [ln for ln in out.stdout.strip().split("\n") if ln.startswith("{")][-1]
         results[threads] = json.loads(line)
