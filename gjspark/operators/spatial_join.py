@@ -332,10 +332,10 @@ def knn_join(
     images: DataFrame,
     locations: DataFrame,
     res: int | None = None,
-    k_schedule: tuple[int, ...] = (1, 3),
+    k_schedule: tuple[int, ...] = (0, 1, 2, 4, 8),
 ) -> DataFrame:
     """Default kNN entry point: map-only broadcast ring expansion."""
-    return knn_join_map(images, locations, res=res)
+    return knn_join_map(images, locations, res=res, k_schedule=k_schedule)
 
 
 def knn_join_cellwise(
