@@ -142,3 +142,19 @@ def validator_multi(
     for v in validators:
         obs = v(obs)
     return obs
+
+
+def phenomenon_start(df: DataFrame):
+    """P15: interval -> start instant (FrostUtils.java:710-716)."""
+    return F.col("t_start")
+
+
+def phenomenon_midpoint(df: DataFrame):
+    """P15: interval -> midpoint instant; instants pass through
+    (FrostUtils.java:841-904 interval handling)."""
+    return F.when(
+        F.col("t_end").isNotNull(),
+        F.timestamp_seconds(
+            (F.unix_timestamp("t_start") + F.unix_timestamp("t_end")) / 2
+        ),
+    ).otherwise(F.col("t_start"))

@@ -204,3 +204,18 @@ class TestValidators:
         )
         got = {r["obs_id"] for r in V.dedup_keep_latest(df).collect()}
         assert got == {"a2", "a3"}
+
+
+def test_phenomenon_midpoint(spark):
+    import datetime as dt
+    from gjspark.operators.validators import phenomenon_midpoint, phenomenon_start
+
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        [("i", t, None), ("v", t, t + dt.timedelta(hours=2))],
+        "obs_id string, t_start timestamp, t_end timestamp",
+    )
+    out = {r["obs_id"]: r["mid"] for r in df.select("obs_id", phenomenon_midpoint(df).alias("mid")).collect()}
+    assert out["i"] == t
+    assert out["v"] == t + dt.timedelta(hours=1)
+    assert df.select(phenomenon_start(df)).collect()[0][0] == t
