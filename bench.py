@@ -106,6 +106,18 @@ def run_bench(
     if reps > 1:  # scaling mode: warm codegen + python workers first
         for fn in stages.values():
             fn()
+    else:
+        # single-rep mode: warm python workers + codegen on a small slice so
+        # the recorded numbers reflect steady state, not worker spawn
+        small = d["images"].limit(2000).persist()
+        small.count()
+        small.agg(F.max("h3_r12")).collect()
+        d["decode"](small).agg(F.sum("pix_crc32")).collect()
+        d["pip"](small, d["features"]).count()
+        d["knn"](small, d["locations"]).count()
+        d["rollup"](small).collect()
+        d["mosaic"](small).count()
+        small.unpersist()
 
     timings: dict[str, float] = {}
     for _ in range(reps):
