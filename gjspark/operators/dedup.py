@@ -55,13 +55,28 @@ _MERSENNE = (1 << 61) - 1
 _TOKEN_RE = re.compile(r"\W+", re.UNICODE)
 
 
+_POLY_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-gram (character shingle) hashes of the normalized text."""
+    """Distinct k-gram (character shingle) hashes of the normalized text.
+
+    Vectorized polynomial hash: sliding windows over the UTF-8 bytes
+    matmul'd against base powers in uint64 wraparound arithmetic — no
+    per-gram Python calls."""
     norm = _TOKEN_RE.sub(" ", text.lower()).strip()
     if len(norm) < k:
         norm = norm.ljust(k, "_")
-    views = {zlib.crc32(norm[i : i + k].encode()) for i in range(len(norm) - k + 1)}
-    return np.fromiter(views, dtype=np.uint64)
+    data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    kk = min(k, len(data))
+    win = np.lib.stride_tricks.sliding_window_view(data, kk).astype(np.uint64)
+    powers = np.empty(kk, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    for i in range(1, kk):
+        powers[i] = powers[i - 1] * _POLY_BASE  # wraps mod 2^64
+    with np.errstate(over="ignore"):
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
 
 
 def _minhash_params(n_hashes: int, seed: int = 42):
