@@ -51,7 +51,11 @@ def _spatial_dfs(spark, images_path):
     from gjspark.operators.cells import with_cell_columns
     from gjspark.operators.multimodal import decode_stats
     from gjspark.operators.spatial_join import knn_join, pip_join
-    from gjspark.operators.tiling import cell_mosaic, cell_tile_rollup
+    from gjspark.operators.tiling import (
+        cell_mosaic,
+        cell_mosaic_mapcombine,
+        cell_tile_rollup,
+    )
     from gjspark.plans.pipeline import feature_locations
     from gjspark.sources.geojson import read_feature_collection
 
@@ -71,6 +75,7 @@ def _spatial_dfs(spark, images_path):
         "knn": knn_join,
         "rollup": cell_tile_rollup,
         "mosaic": cell_mosaic,
+        "mosaic_mapcombine": cell_mosaic_mapcombine,
     }
 
 
@@ -102,6 +107,7 @@ def run_bench(
         "knn": lambda: d["knn"](images, d["locations"]).count(),
         "tile_rollup": lambda: d["rollup"](images).collect(),
         "mosaic": lambda: d["mosaic"](images).count(),
+        "mosaic_mapcombine": lambda: d["mosaic_mapcombine"](images).count(),
     }
     if reps > 1:  # scaling mode: warm codegen + python workers first
         for fn in stages.values():
@@ -117,6 +123,7 @@ def run_bench(
         d["knn"](small, d["locations"]).count()
         d["rollup"](small).collect()
         d["mosaic"](small).count()
+        d["mosaic_mapcombine"](small).count()
         small.unpersist()
 
     timings: dict[str, float] = {}
