@@ -178,6 +178,7 @@ def q_events_hourly(spark, sf_dir):
             F.round(F.min("value"), 4).alias("min_v"),
             F.round(F.max("value"), 4).alias("max_v"),
             F.round(F.avg("value"), 4).alias("avg_v"),
+            F.round(F.stddev("value"), 4).alias("std_v"),
         )
         .select(
             "event_type",
@@ -186,6 +187,7 @@ def q_events_hourly(spark, sf_dir):
             "min_v",
             "max_v",
             "avg_v",
+            "std_v",
         )
     )
 
@@ -487,7 +489,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(min(value), 4) AS min_v,
                    round(max(value), 4) AS max_v,
-                   round(avg(value), 4) AS avg_v
+                   round(avg(value), 4) AS avg_v,
+                   round(stddev_samp(value), 4) AS std_v
             FROM events GROUP BY 1, 2
         """,
         "q_word_freq": """

@@ -100,9 +100,22 @@ def train_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd k-means on a driver-side sample (the IVF coarse quantizer).
-    At scale: sample via ``df.sample``, centroids broadcast."""
-    rows = index.select(vec_col).limit(sample).collect()
-    x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+    The sample is a deterministic hash filter (``pmod(xxhash64(vec), den)
+    == 0``) rather than ``limit()`` (first-partitions-biased) or
+    ``df.sample`` (partition-layout-dependent): the chosen rows — and
+    hence the trained centroids — are a pure function of the data,
+    identical across cluster sizes and file-split decisions. Collected
+    rows are sorted by hash so k-means init is order-independent too."""
+    cnt = index.count()
+    den = max(1, cnt // sample)
+    rows = (
+        index.select(F.xxhash64(vec_col).alias("__h"), F.col(vec_col).alias("v"))
+        .filter(F.pmod(F.col("__h"), F.lit(den)) == 0)
+        .orderBy("__h")
+        .collect()
+    )
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_list, len(x)), replace=False)]

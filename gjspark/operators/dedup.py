@@ -72,9 +72,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     win = np.lib.stride_tricks.sliding_window_view(data, kk).astype(np.uint64)
     powers = np.empty(kk, dtype=np.uint64)
     powers[0] = np.uint64(1)
-    for i in range(1, kk):
-        powers[i] = powers[i - 1] * _POLY_BASE  # wraps mod 2^64
     with np.errstate(over="ignore"):
+        for i in range(1, kk):
+            powers[i] = powers[i - 1] * _POLY_BASE  # wraps mod 2^64
         h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)
 

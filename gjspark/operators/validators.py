@@ -144,17 +144,20 @@ def validator_multi(
     return obs
 
 
-def phenomenon_start(df: DataFrame):
+def phenomenon_start():
     """P15: interval -> start instant (FrostUtils.java:710-716)."""
     return F.col("t_start")
 
 
-def phenomenon_midpoint(df: DataFrame):
+def phenomenon_midpoint():
     """P15: interval -> midpoint instant; instants pass through
-    (FrostUtils.java:841-904 interval handling)."""
+    (FrostUtils.java:841-904 interval handling). Microsecond-precise:
+    the reference is Instant-precise (start + duration/2), so averaging
+    at whole-second granularity would diverge by up to ~1s. The micros
+    sum stays < 2^53, so the double division is exact."""
     return F.when(
         F.col("t_end").isNotNull(),
-        F.timestamp_seconds(
-            (F.unix_timestamp("t_start") + F.unix_timestamp("t_end")) / 2
+        F.timestamp_micros(
+            ((F.unix_micros("t_start") + F.unix_micros("t_end")) / 2).cast("long")
         ),
     ).otherwise(F.col("t_start"))

@@ -211,11 +211,18 @@ def test_phenomenon_midpoint(spark):
     from gjspark.operators.validators import phenomenon_midpoint, phenomenon_start
 
     t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    sub = dt.datetime(2024, 3, 1, 10, 0, 0, 250000)  # sub-second start
     df = spark.createDataFrame(
-        [("i", t, None), ("v", t, t + dt.timedelta(hours=2))],
+        [
+            ("i", t, None),
+            ("v", t, t + dt.timedelta(hours=2)),
+            ("s", sub, sub + dt.timedelta(microseconds=500001)),
+        ],
         "obs_id string, t_start timestamp, t_end timestamp",
     )
-    out = {r["obs_id"]: r["mid"] for r in df.select("obs_id", phenomenon_midpoint(df).alias("mid")).collect()}
+    out = {r["obs_id"]: r["mid"] for r in df.select("obs_id", phenomenon_midpoint().alias("mid")).collect()}
     assert out["i"] == t
     assert out["v"] == t + dt.timedelta(hours=1)
-    assert df.select(phenomenon_start(df)).collect()[0][0] == t
+    # Instant-precise midpoint (reference: start + duration/2, truncated)
+    assert out["s"] == sub + dt.timedelta(microseconds=250000)
+    assert df.select(phenomenon_start()).collect()[0][0] == t
