@@ -276,6 +276,18 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_list=16, n_probe=12)
 
 
+def q_embed_pairs(spark, sf_dir):
+    """Embedding near-dup via hyperplane LSH over the planted-dup fixture
+    (the driver's embeddings table has no pairs above any sane threshold,
+    so this runs on a fixture with ~100 planted near-dups; the oracle
+    brute-forces all pairs in DuckDB — algorithm-independent)."""
+    from gjspark.operators.dedup import embedding_near_dup
+
+    fx = _fixtures()
+    emb = spark.read.parquet(f"{fx}/embeddings_neardup.parquet")
+    return embedding_near_dup(emb, threshold=0.95)
+
+
 # ---------------------------------------------------------------------------
 # geospatial / image queries (deterministic fixtures + committed goldens)
 # ---------------------------------------------------------------------------
@@ -390,6 +402,110 @@ def q_crs_points(spark, sf_dir):
     ).select("feature_id", "lon", "lat")
 
 
+def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of minhash_lsh_pairs: same polynomial shingle hash
+    (uint64-wraparound constants), same 64 (a,b) permutation params
+    (generated from the identical numpy call), banding by exact
+    signature-slice equality, exact shingle-set Jaccard verify. A second
+    full implementation of the pipeline, in SQL."""
+    from gjspark.operators.dedup import _MERSENNE, _POLY_BASE, _minhash_params
+
+    a, b = _minhash_params(64)
+    W = 1 << 64
+    P = [pow(int(_POLY_BASE), i, W) for i in range(5)]
+    perms = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(64))
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 5 THEN t || repeat('_', 5 - len(t)) ELSE t END AS t
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\W+', ' ', 'g')) AS t
+        FROM documents)
+),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM norm
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    (ord(substr(t, i::INT, 1))::HUGEINT * {P[0]}
+     + ord(substr(t, i::INT + 1, 1))::HUGEINT * {P[1]}
+     + ord(substr(t, i::INT + 2, 1))::HUGEINT * {P[2]}
+     + ord(substr(t, i::INT + 3, 1))::HUGEINT * {P[3]}
+     + ord(substr(t, i::INT + 4, 1))::HUGEINT * {P[4]}) % {W} AS h
+  FROM pos
+),
+perms(j, a, b) AS (VALUES {perms}),
+sig AS (
+  SELECT doc_id, j,
+         min((((a::HUGEINT * h) % {W} + b) % {W}) % {int(_MERSENNE)})::BIGINT AS v
+  FROM sh, perms GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS bno, list(v ORDER BY j) AS bslice
+  FROM sig GROUP BY doc_id, j // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.bno = r.bno AND l.bslice = r.bslice AND l.doc_id < r.doc_id
+),
+sets AS (SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.hs, sb.hs))::DOUBLE
+           / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS j
+  FROM cand
+  JOIN sets sa ON id_a = sa.doc_id
+  JOIN sets sb ON id_b = sb.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 10) -> str:
+    """DuckDB twin of simhash_pairs: token hash = md5_number_lower
+    (bit-identical to the engine's md5-lower-64), per-occurrence +/-1
+    bit votes, 4x16-bit band blocking, bit_count(xor) verify."""
+    bits = ", ".join(f"({bb}, {1 << bb})" for bb in range(64))
+    divs = ", ".join(f"({i}, {1 << (16 * i)})" for i in range(4))
+    W = 1 << 64
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, md5_number_lower(tok)::HUGEINT AS h FROM toks WHERE tok <> ''
+),
+bitpos(b, p) AS (VALUES {bits}),
+votes AS (
+  SELECT doc_id, b, p, sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, bitpos GROUP BY doc_id, b, p
+),
+simu AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN p::HUGEINT ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY doc_id
+),
+sim AS (
+  SELECT d.doc_id,
+         coalesce(su.u, 0::HUGEINT) AS u,
+         (CASE WHEN coalesce(su.u, 0::HUGEINT) >= {1 << 63}
+               THEN coalesce(su.u, 0::HUGEINT) - {W}
+               ELSE coalesce(su.u, 0::HUGEINT) END)::BIGINT AS s
+  FROM documents d LEFT JOIN simu su USING (doc_id)
+),
+dv(bno, d) AS (VALUES {divs}),
+banded AS (SELECT doc_id, s, bno, (u // d) % 65536 AS bval FROM sim, dv),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.s AS sa, r.s AS sb
+  FROM banded l JOIN banded r
+    ON l.bno = r.bno AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / reference-operator analogues
@@ -411,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_winnow": q_winnow,
         "q_ivf_topk": q_ivf_topk,
+        "q_embed_pairs": q_embed_pairs,
         # geospatial / image pipeline
         "q_cells": q_cells,
         "q_pip": q_pip,
@@ -559,7 +676,16 @@ def oracle_sql() -> dict[str, str]:
         "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",
         "q_csv_points": f"SELECT * FROM read_parquet('{fx}/expected_csv_points.parquet')",
         "q_crs_points": f"SELECT * FROM read_parquet('{fx}/expected_points25832.parquet')",
-        # q_minhash_pairs / q_simhash_pairs / q_langid / q_winnow /
-        # q_ivf_topk: LSH bucketing, heuristic language id, winnowing and
-        # IVF probing are not ANSI-SQL-expressible -> rows-only checks.
+        # full second implementations of the LSH pipelines in SQL:
+        "q_minhash_pairs": _minhash_oracle_sql(threshold=0.5),
+        "q_simhash_pairs": _simhash_oracle_sql(max_hamming=10),
+        # brute-force all-pairs (algorithm-independent of the LSH path):
+        "q_embed_pairs": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+            FROM read_parquet('{fx}/embeddings_neardup.parquet') a
+            JOIN read_parquet('{fx}/embeddings_neardup.parquet') b
+              ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
     }

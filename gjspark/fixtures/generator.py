@@ -480,7 +480,25 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L3"
+LIGHT_VERSION = "L4"
+
+
+def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
+    """Embedding table with planted near-duplicates for the LSH contract
+    query: ids [0, n_base) are iid normal vectors (max pairwise |cos| ~
+    0.5 at this count — a 7+ sigma gap below any sane threshold), ids
+    [n_base, n_base+n_dups) are noisy copies of bases 0..n_dups-1 at
+    cosine ~0.97-0.995. The DuckDB oracle brute-forces all pairs, so it
+    is algorithm-independent of the hyperplane-LSH under test."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(n_base, dim))
+    sigma = rng.uniform(0.10, 0.25, size=n_dups)
+    dups = base[:n_dups] + rng.normal(size=(n_dups, dim)) * sigma[:, None]
+    vecs = np.vstack([base, dups])
+    return {
+        "vec_id": list(range(n_base + n_dups)),
+        "embedding": [[float(x) for x in v] for v in vecs],
+    }
 
 
 def oracle_preview(feats):
@@ -614,6 +632,9 @@ def _ensure_light(root: str) -> None:
         _write_parquet(
             os.path.join(root, name), {k: [r[k] for r in rows] for k in rows[0]}
         )
+    _write_parquet(
+        os.path.join(root, "embeddings_neardup.parquet"), make_neardup_embeddings()
+    )
     with open(stamp, "w") as f:
         f.write(LIGHT_VERSION)
 
