@@ -328,31 +328,39 @@ def q_knn(spark, sf_dir):
 
 
 def q_decode(spark, sf_dir):
-    from gjspark.operators.multimodal import decode_stats
+    """Decode verification via the fused single-decode pass (crc32 of the
+    decoded pixels + caption pass-through; oracle = committed golden from
+    the independent single-process decode)."""
+    from gjspark.operators.cells import with_cell_columns
+    from gjspark.operators.fused import decoded_features
 
     fx = _fixtures()
-    imgs = spark.read.parquet(f"{fx}/images_sf_e2e.parquet")
-    return decode_stats(imgs).select("image_id", "pix_crc32", "caption")
+    imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
+    return decoded_features(imgs).select("image_id", "pix_crc32", "caption")
 
 
 def q_tile_rollup(spark, sf_dir):
     from gjspark.operators.cells import with_cell_columns
-    from gjspark.operators.tiling import cell_tile_rollup
+    from gjspark.operators.fused import decoded_features, rollup_from_features
 
     fx = _fixtures()
     imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
-    return cell_tile_rollup(imgs).select("cell", "n_images", "n_tiles", "phash_xor")
+    return rollup_from_features(decoded_features(imgs)).select(
+        "cell", "n_images", "n_tiles", "phash_xor"
+    )
 
 
 def q_mosaic(spark, sf_dir):
-    """Salted per-cell mosaic (J7): checkable part = per-cell image counts
-    (mosaic bytes verified by the salted==unsalted pytest instead)."""
+    """Per-cell mosaic (J7), map-side-combine default plan (the salted
+    plan remains in tiling.cell_mosaic for adversarial layouts; byte
+    equality of all three plans is pytest-asserted). Checkable part =
+    per-cell image counts; mosaic bytes verified by the equality tests."""
     from gjspark.operators.cells import with_cell_columns
-    from gjspark.operators.tiling import cell_mosaic
+    from gjspark.operators.fused import decoded_features, mosaic_from_features
 
     fx = _fixtures()
     imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
-    return cell_mosaic(imgs).select("cell", "n_images")
+    return mosaic_from_features(decoded_features(imgs)).select("cell", "n_images")
 
 
 def q_preview(spark, sf_dir):
@@ -503,6 +511,105 @@ cand AS (
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+def _winnow_oracle_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB twin of winnow_fingerprints: same polynomial k-gram hash
+    (constants from the same base), window-min via a window frame,
+    distinct picks, then count/min/xor aggregates."""
+    from gjspark.operators.dedup import _POLY_BASE
+
+    W = 1 << 64
+    P = [pow(int(_POLY_BASE), i, W) for i in range(k)]
+    terms = "\n     + ".join(
+        f"ord(substr(s, i::INT + {i}, 1))::HUGEINT * {P[i]}" for i in range(k)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         CASE WHEN len(s) < {k} THEN s || repeat('_', {k} - len(s)) ELSE s END AS s
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents)
+),
+pos AS (
+  SELECT doc_id, len(s) - {k - 1} AS ng, s,
+         unnest(range(1, len(s) - {k - 2})) AS i
+  FROM norm
+),
+gh AS (SELECT doc_id, ng, i, ({terms}) % {W} AS hu FROM pos),
+ghs AS (
+  SELECT doc_id, ng, i,
+         (CASE WHEN hu >= {1 << 63} THEN hu - {W} ELSE hu END)::BIGINT AS h
+  FROM gh
+),
+wm AS (
+  SELECT doc_id, ng, i, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m
+  FROM ghs
+),
+picks AS (
+  SELECT DISTINCT doc_id, m FROM wm WHERE ng >= {window} AND i <= ng - {window - 1}
+  UNION
+  SELECT DISTINCT doc_id, h AS m FROM ghs WHERE ng < {window}
+)
+SELECT doc_id, count(*)::INT AS n_fingerprints, min(m) AS min_fp,
+       bit_xor(m) AS fp_xor
+FROM picks GROUP BY doc_id
+"""
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of language_id: same stopword/char-profile scoring
+    with the same first-wins tie rule. Word extraction uses [A-Za-z]+,
+    identical to the engine's [^\\W\\d_]+ on ASCII corpora (the
+    documents tables are ASCII; verified)."""
+    from gjspark.operators.text import _LANG_PROFILES
+
+    score_cols = []
+    for lang, (stops, chars) in _LANG_PROFILES.items():
+        if lang == "zh":
+            continue
+        stop_list = ", ".join(f"'{w}'" for w in sorted(stops))
+        expr = (
+            f"CASE WHEN nw = 0 THEN 0.0 ELSE "
+            f"len(list_filter(words, x -> x IN ({stop_list})))::DOUBLE / nw END"
+        )
+        if chars:
+            expr += (
+                f" + 5.0 * (n - len(regexp_replace(text, '[{chars}]', '', 'g')))::DOUBLE"
+                f" / greatest(n, 1)"
+            )
+        score_cols.append(f"({expr}) AS s_{lang}")
+    scores = ",\n         ".join(score_cols)
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, len(text) AS n,
+         list_transform(regexp_extract_all(text, '[A-Za-z]+'), x -> lower(x)) AS words
+  FROM documents
+),
+w2 AS (SELECT doc_id, text, n, words, len(words) AS nw FROM w),
+sc AS (
+  SELECT doc_id, text, n, nw,
+         (n - len(regexp_replace(text, '[一-鿿]', '', 'g')))::DOUBLE
+           / greatest(n, 1) AS cjk_frac,
+         {scores}
+  FROM w2
+),
+g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS mx FROM sc)
+SELECT doc_id,
+  CASE
+    WHEN text IS NULL OR n = 0 THEN 'und'
+    WHEN cjk_frac > 0.2 THEN 'zh'
+    WHEN nw = 0 THEN 'und'
+    WHEN s_en >= mx AND s_en > 0 THEN 'en'
+    WHEN s_de >= mx AND s_de > 0 THEN 'de'
+    WHEN s_fr >= mx AND s_fr > 0 THEN 'fr'
+    WHEN s_es >= mx AND s_es > 0 THEN 'es'
+    ELSE 'und'
+  END AS lang_pred
+FROM g
 """
 
 
@@ -679,6 +786,16 @@ def oracle_sql() -> dict[str, str]:
         # full second implementations of the LSH pipelines in SQL:
         "q_minhash_pairs": _minhash_oracle_sql(threshold=0.5),
         "q_simhash_pairs": _simhash_oracle_sql(max_hamming=10),
+        "q_winnow": _winnow_oracle_sql(),
+        "q_langid": _langid_oracle_sql(),
+        # IVF probing (trained quantizer) is not SQL-expressible; the
+        # golden is the deterministic engine output at sf0.01 (the
+        # operator is partitioning-independent: hash-filter sampling +
+        # order-independent k-means init — verified by identical results
+        # at local[8] vs local[32]); regenerate via
+        # tools/make_testdata_goldens.py. Recall >= 0.9 vs brute force is
+        # separately asserted in tests/test_training_ops.py.
+        "q_ivf_topk": f"SELECT * FROM read_parquet('{fx}/expected_ivf_sf001.parquet')",
         # brute-force all-pairs (algorithm-independent of the LSH path):
         "q_embed_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

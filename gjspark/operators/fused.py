@@ -1,0 +1,324 @@
+"""Fused single-decode image pipeline.
+
+At 100 TB the dominant cost of the raster suite is decoding the corpus;
+running decode-stats, tile rollup and mosaic as separate queries decodes
+it 3-4x. :func:`decoded_features` performs ONE ``mapInPandas`` decode
+pass per image emitting everything downstream needs:
+
+- verification stats (crc32 of pixels, recomputed phash, mean luma,
+  dims check) — exactly :mod:`gjspark.operators.multimodal.decode_stats`
+  semantics;
+- per-image tile statistics (integral-image tile sums) — exactly
+  :mod:`gjspark.operators.tiling.image_tile_stats` semantics;
+- a per-image rounded uint8 thumbnail (the mosaic partial unit; rounding
+  once per image is what makes any grouping of the subsequent integer
+  sums byte-identical — see ``tiling.cell_mosaic``).
+
+Downstream, :func:`rollup_from_features` and :func:`mosaic_from_features`
+are pure aggregations over the features frame: persist the features once
+and the whole suite decodes the corpus once. The shuffles carry only
+stat rows / 3 KB thumbs — never encoded image bytes.
+
+Reference analogue: none (the importer re-reads features per operation,
+GeoJsonFeatureList.java); this is the Spark-first redesign the scale
+demands.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gjspark.functions import codecs as C
+from gjspark.operators.multimodal import _decode_one
+from gjspark.operators.tiling import (
+    _merge_mosaic_partials,
+    _MOSAIC_PARTIAL_SCHEMA,
+    MOSAIC_SIZE,
+    TILE,
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash_stored", T.LongType()),
+        T.StructField("phash_decoded", T.LongType()),
+        T.StructField("pix_crc32", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("dims_ok", T.BooleanType()),
+        T.StructField("n_tiles_img", T.LongType()),
+        T.StructField("luma_wsum", T.DoubleType()),
+        T.StructField("px", T.LongType()),
+        T.StructField("min_tm", T.DoubleType()),
+        T.StructField("max_tm", T.DoubleType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+def decoded_features(
+    images: DataFrame, cell_col: str = "h3_r7"
+) -> DataFrame:
+    """One decode pass -> per-image stats + tile stats + mosaic thumb.
+
+    Runs map-side on the scan partitioning (balanced by row count, so
+    cell skew cannot touch the Python stage). Failed decodes emit a row
+    with ``decode_ok = false`` and null thumb so callers can count them.
+    """
+    from gjspark.functions.codecs import _resize_matrix
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rm_cache: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            crc = np.zeros(n, dtype=np.int64)
+            mean = np.zeros(n, dtype=np.float64)
+            ok = np.zeros(n, dtype=bool)
+            dims_ok = np.zeros(n, dtype=bool)
+            ph_dec = np.zeros(n, dtype=np.int64)
+            n_tiles = np.zeros(n, dtype=np.int64)
+            luma_wsum = np.zeros(n, dtype=np.float64)
+            px = np.zeros(n, dtype=np.int64)
+            min_tm = np.zeros(n, dtype=np.float64)
+            max_tm = np.zeros(n, dtype=np.float64)
+            thumbs: list[bytes | None] = [None] * n
+            imgs: list[np.ndarray | None] = [None] * n
+            for k, (b, f, w0, h0) in enumerate(
+                zip(pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"])
+            ):
+                try:
+                    img = _decode_one(bytes(b), f)
+                except (NotImplementedError, ValueError):
+                    continue
+                imgs[k] = img
+                crc[k] = zlib.crc32(img.tobytes()) & 0x7FFFFFFF
+                mean[k] = float((img.astype(np.float64) @ _LUMA).mean())
+                ok[k] = True
+                dims_ok[k] = img.shape[0] == h0 and img.shape[1] == w0
+            good = [k for k in range(n) if imgs[k] is not None]
+            if good:
+                ph_dec[np.array(good)] = C.phash64_batch([imgs[k] for k in good])
+            # shape-batched tile stats (identical math to image_tile_stats)
+            # and mosaic thumbs (identical rounding to cell_mosaic).
+            # Chunked: a full 10k-row Arrow batch as float64 would be
+            # ~1 GB x3 transients per worker; cap the float64 working set
+            # at ~8M elements (64 MB) per chunk so 32 workers stay within
+            # a few GB total while BLAS still gets big matmuls.
+            by_shape: dict[tuple, list[int]] = {}
+            for k in good:
+                by_shape.setdefault(imgs[k].shape, []).append(k)
+            chunked = []
+            for (h, w, _c), idxs in by_shape.items():
+                step = max(1, 8_000_000 // (h * w * 3))
+                for i0 in range(0, len(idxs), step):
+                    chunked.append(((h, w, _c), idxs[i0 : i0 + step]))
+            for (h, w, _c), idxs in chunked:
+                stack = np.stack([imgs[k] for k in idxs]).astype(np.float64)
+                chan_sum = stack.sum(axis=3)  # (n, h, w)
+                integ = np.zeros((len(idxs), h + 1, w + 1))
+                integ[:, 1:, 1:] = chan_sum.cumsum(axis=1).cumsum(axis=2)
+                ys = np.unique(np.arange(0, h + TILE, TILE).clip(max=h))
+                xs = np.unique(np.arange(0, w + TILE, TILE).clip(max=w))
+                gy, gx = len(ys) - 1, len(xs) - 1
+                s = (
+                    integ[:, ys[1:], :][:, :, xs[1:]]
+                    - integ[:, ys[:-1], :][:, :, xs[1:]]
+                    - integ[:, ys[1:], :][:, :, xs[:-1]]
+                    + integ[:, ys[:-1], :][:, :, xs[:-1]]
+                )
+                areas = np.outer(np.diff(ys), np.diff(xs))[None, :, :] * 3.0
+                means = s / areas
+                if h not in rm_cache:
+                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE)
+                if w not in rm_cache:
+                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE)
+                cf = stack.transpose(0, 3, 1, 2)  # (n, 3, h, w)
+                th = np.clip(
+                    np.round(rm_cache[h] @ cf @ rm_cache[w].T), 0, 255
+                ).astype(np.uint8)  # (n, 3, 32, 32)
+                for j, k in enumerate(idxs):
+                    n_tiles[k] = gy * gx
+                    luma_wsum[k] = float(s[j].sum()) / 3.0
+                    px[k] = int((areas / 3.0).sum())
+                    min_tm[k] = float(means[j].min())
+                    max_tm[k] = float(means[j].max())
+                    thumbs[k] = th[j].transpose(1, 2, 0).tobytes()
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "cell": pdf["cell"],
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "fmt": pdf["fmt"],
+                    "caption": pdf["caption"],
+                    "phash_stored": pdf["phash"],
+                    "phash_decoded": ph_dec,
+                    "pix_crc32": crc,
+                    "mean_luma": mean,
+                    "decode_ok": ok,
+                    "dims_ok": dims_ok,
+                    "n_tiles_img": n_tiles,
+                    "luma_wsum": luma_wsum,
+                    "px": px,
+                    "min_tm": min_tm,
+                    "max_tm": max_tm,
+                    "thumb": thumbs,
+                }
+            )
+
+    cols = images.select(
+        "image_id",
+        F.col(cell_col).alias("cell"),
+        "bytes",
+        "fmt",
+        "w",
+        "h",
+        "caption",
+        "phash",
+    )
+    return cols.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def rollup_from_features(feat: DataFrame) -> DataFrame:
+    """cell_tile_rollup over an already-decoded features frame (same
+    output as tiling.cell_tile_rollup; only shuffles tiny stat rows)."""
+    xor_agg = F.expr(
+        "aggregate(collect_list(phash_stored), cast(0 as bigint), (a, x) -> a ^ x)"
+    )
+    return (
+        feat.filter(F.col("decode_ok"))
+        .groupBy("cell")
+        .agg(
+            F.countDistinct("image_id").alias("n_images"),
+            F.sum("n_tiles_img").alias("n_tiles"),
+            (F.sum("luma_wsum") / F.sum("px")).alias("mean_tile_luma"),
+            xor_agg.alias("phash_xor"),
+            F.min("min_tm").alias("min_tile_mean"),
+            F.max("max_tm").alias("max_tile_mean"),
+        )
+    )
+
+
+def mosaic_from_features(feat: DataFrame, combine: bool | None = None) -> DataFrame:
+    """Per-cell mean-thumbnail mosaic from pre-decoded thumbs.
+
+    Two plans, byte-identical (integer sums commute; tested):
+
+    - ``combine=False`` (direct): shuffle the 3 KB thumbs by cell, one
+      vectorized merge per partition. A map-side partial is 25 KB of
+      int64 sums, so combining only *reduces* shuffle volume when a
+      partition holds >~8 rows per distinct cell — below that it
+      amplifies the exchange 8x (measured: 61s vs 8s at sf0.1's ~5
+      rows/cell). Hot cells co-locate in one merge task (60 MB for a
+      10%-hot cell at sf0.1 — bounded by corpus share x 3 KB).
+    - ``combine=True``: map-side partial sums per (cell x partition),
+      then the tiny merge. Wins at 10^12 scale with res-7 cells, where
+      rows per (cell x partition) is large and a hot cell would
+      otherwise flood one task.
+    - ``combine=None`` (default): decide from a cheap count +
+      approx_count_distinct probe of the features frame.
+    """
+    if combine is None:
+        row = feat.agg(
+            F.count("*").alias("n"), F.approx_count_distinct("cell").alias("c")
+        ).first()
+        nparts = max(feat.rdd.getNumPartitions(), 1)
+        combine = row["n"] / max(row["c"], 1) / nparts > 8.0
+    if not combine:
+        def direct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cells_l, mats_l = [], []
+            for pdf in batches:
+                mask = pdf["thumb"].notna()
+                if not mask.any():
+                    continue
+                cells_l.append(pdf.loc[mask, "cell"].to_numpy(dtype=np.int64))
+                mats_l.append(
+                    np.stack(
+                        [
+                            np.frombuffer(bytes(t), dtype=np.uint8)
+                            for t in pdf.loc[mask, "thumb"]
+                        ]
+                    )
+                )
+            if not cells_l:
+                return
+            cells = np.concatenate(cells_l)
+            mat = np.concatenate(mats_l)  # (n, 3072) uint8 — stays small
+            order = np.argsort(cells, kind="stable")
+            c, m = cells[order], mat[order]
+            bounds = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+            sums = np.add.reduceat(m, bounds, axis=0, dtype=np.int64)
+            counts = np.diff(np.r_[bounds, len(c)])
+            mosaics = (
+                (sums // np.maximum(counts, 1)[:, None]).clip(0, 255).astype(np.uint8)
+            )
+            yield pd.DataFrame(
+                {
+                    "cell": c[bounds],
+                    "n_images": counts,
+                    "mosaic": [x.tobytes() for x in mosaics],
+                }
+            )
+
+        from gjspark.operators.tiling import _MOSAIC_SCHEMA
+
+        return (
+            feat.select("cell", "thumb")
+            .repartition(F.col("cell"))
+            .mapInPandas(direct, _MOSAIC_SCHEMA)
+        )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cells_l, ns_l, mats_l = [], [], []
+        for pdf in batches:
+            mask = pdf["thumb"].notna()
+            if not mask.any():
+                continue
+            cells = pdf.loc[mask, "cell"].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.frombuffer(bytes(t), dtype=np.uint8) for t in pdf.loc[mask, "thumb"]]
+            ).astype(np.int64)  # (n, 3072)
+            # per-batch combine: sort + reduceat (buffered vector adds)
+            order = np.argsort(cells, kind="stable")
+            c, m = cells[order], mat[order]
+            bounds = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+            cells_l.append(c[bounds])
+            ns_l.append(np.diff(np.r_[bounds, len(c)]))
+            mats_l.append(np.add.reduceat(m, bounds, axis=0))
+        if not cells_l:
+            return
+        # cross-batch combine within the task
+        cells = np.concatenate(cells_l)
+        ns = np.concatenate(ns_l)
+        mat = np.concatenate(mats_l)
+        order = np.argsort(cells, kind="stable")
+        c, n_s, m_s = cells[order], ns[order], mat[order]
+        bounds = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        yield pd.DataFrame(
+            {
+                "cell": c[bounds],
+                "n": np.add.reduceat(n_s, bounds),
+                "pix_sum": [
+                    r.tobytes() for r in np.add.reduceat(m_s, bounds, axis=0)
+                ],
+            }
+        )
+
+    parts = feat.select("cell", "thumb").mapInPandas(partials, _MOSAIC_PARTIAL_SCHEMA)
+    return _merge_mosaic_partials(parts)

@@ -16,7 +16,6 @@ template rendering, SURVEY.md §2.2).
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -122,6 +121,23 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def _gram_hashes_i64(s: str, k: int) -> np.ndarray:
+    """Positional k-gram polynomial hashes (uint64 wraparound, viewed as
+    int64) — the same public rolling-hash family as the MinHash shingles,
+    chosen because it has a bit-exact DuckDB twin (see __spark_entry__)."""
+    from gjspark.operators.dedup import _POLY_BASE
+
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * _POLY_BASE
+        h = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    return h.view(np.int64)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -129,10 +145,10 @@ def winnow_fingerprints(
     k: int = 8,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing document fingerprints: crc32 k-gram rolling hashes, min
-    per sliding window, deduplicated — emits (doc_id, n_fingerprints,
-    min_fp, fp_xor) summary plus the selected hash set size; robust to
-    small edits (used for copy detection)."""
+    """Winnowing document fingerprints: polynomial k-gram rolling hashes,
+    min per sliding window, deduplicated — emits (doc_id, n_fingerprints,
+    min_fp, fp_xor); robust to small edits (Schleimer et al. 2003).
+    Oracle: full SQL reimplementation in __spark_entry__."""
 
     @pandas_udf(
         T.StructType(
@@ -149,10 +165,7 @@ def winnow_fingerprints(
             s = re.sub(r"\s+", " ", (t or "").lower()).strip()
             if len(s) < k:
                 s = s.ljust(k, "_")
-            hashes = np.array(
-                [zlib.crc32(s[i : i + k].encode()) for i in range(len(s) - k + 1)],
-                dtype=np.int64,
-            )
+            hashes = _gram_hashes_i64(s, k)
             if len(hashes) >= window:
                 win = np.lib.stride_tricks.sliding_window_view(hashes, window)
                 picks = np.unique(win.min(axis=1))

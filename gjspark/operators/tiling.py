@@ -234,6 +234,53 @@ def cell_tile_rollup(
 
 MOSAIC_SIZE = 32
 
+
+def _merge_mosaic_partials(parts: DataFrame) -> DataFrame:
+    """Merge (cell, n, pix_sum) integer partials into final mosaics.
+
+    Hash-repartition by cell (so each cell's partials co-locate), then ONE
+    vectorized ``mapInPandas`` call per partition — sort + ``reduceat``
+    over the stacked int64 partials. A ``groupBy(cell).applyInPandas``
+    here would cost one Python call per cell (~40k calls at sf0.1 — the
+    dominant mosaic cost when cells are plentiful); integer addition is
+    order-independent so the partition-level merge is byte-identical.
+    """
+    px_len = MOSAIC_SIZE * MOSAIC_SIZE * 3
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cells_l, ns_l, mats_l = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells_l.append(pdf["cell"].to_numpy(dtype=np.int64))
+            ns_l.append(pdf["n"].to_numpy(dtype=np.int64))
+            mats_l.append(
+                np.stack([np.frombuffer(bytes(b), dtype=np.int64) for b in pdf["pix_sum"]])
+            )
+        if not cells_l:
+            return
+        cells = np.concatenate(cells_l)
+        ns = np.concatenate(ns_l)
+        mat = np.concatenate(mats_l)
+        order = np.argsort(cells, kind="stable")
+        c, n_s, m_s = cells[order], ns[order], mat[order]
+        bounds = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sums = np.add.reduceat(m_s, bounds, axis=0)
+        counts = np.add.reduceat(n_s, bounds)
+        uniq = c[bounds]
+        denom = np.maximum(counts, 1)
+        mosaics = (sums // denom[:, None]).clip(0, 255).astype(np.uint8)
+        yield pd.DataFrame(
+            {
+                "cell": uniq,
+                "n_images": counts,
+                "mosaic": [m.tobytes() for m in mosaics],
+            }
+        )
+
+    return parts.repartition(F.col("cell")).mapInPandas(merge, _MOSAIC_SCHEMA)
+
+
 _MOSAIC_PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("cell", T.LongType()),
@@ -319,22 +366,7 @@ def cell_mosaic(
         "cell", "salt"
     ).applyInPandas(lambda key, pdf: partial(key, pdf), _MOSAIC_PARTIAL_SCHEMA)
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        total = np.zeros(MOSAIC_SIZE * MOSAIC_SIZE * 3, dtype=np.int64)
-        n = 0
-        for b, cnt in zip(pdf["pix_sum"], pdf["n"]):
-            total += np.frombuffer(bytes(b), dtype=np.int64)
-            n += int(cnt)
-        mosaic = (
-            (total // max(n, 1)).clip(0, 255).astype(np.uint8).tobytes()
-        )
-        return pd.DataFrame(
-            [{"cell": key[0], "n_images": n, "mosaic": mosaic}]
-        )
-
-    return partials.groupBy("cell").applyInPandas(
-        lambda key, pdf: merge(key, pdf), _MOSAIC_SCHEMA
-    )
+    return _merge_mosaic_partials(partials)
 
 
 def cell_mosaic_mapcombine(
@@ -396,25 +428,4 @@ def cell_mosaic_mapcombine(
         F.col(cell_col).alias("cell"), "bytes", "fmt"
     ).mapInPandas(partials, _MOSAIC_PARTIAL_SCHEMA)
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        total = np.zeros(MOSAIC_SIZE * MOSAIC_SIZE * 3, dtype=np.int64)
-        n = 0
-        for b, c in zip(pdf["pix_sum"], pdf["n"]):
-            total += np.frombuffer(bytes(b), dtype=np.int64)
-            n += int(c)
-        return pd.DataFrame(
-            [
-                {
-                    "cell": key[0],
-                    "n_images": n,
-                    "mosaic": (total // max(n, 1))
-                    .clip(0, 255)
-                    .astype(np.uint8)
-                    .tobytes(),
-                }
-            ]
-        )
-
-    return parts.groupBy("cell").applyInPandas(
-        lambda key, pdf: merge(key, pdf), _MOSAIC_SCHEMA
-    )
+    return _merge_mosaic_partials(parts)

@@ -8,11 +8,22 @@ Not a Spark built-in at this granularity (SURVEY.md §4.5). Design:
   ``pmod(xxhash64(id_col), n_parts)``) so the data->logical-partition
   mapping is a pure function of the data — identical across runs and
   cluster sizes;
-- ``groupBy(part_id).applyInPandas`` writes each logical partition to
-  ``<out>/part=<id>.parquet`` atomically (temp file + rename) and emits
-  one manifest row ``(job_id, part_id, row_count, bytes_out, cell_min,
+- rows are ``repartition(__part)``-ed so each logical partition lands in
+  exactly one task, then ``mapInPandas`` STREAMS Arrow batches into a
+  ``pyarrow.ParquetWriter`` per partition — memory per task is bounded
+  by the Arrow batch size (spark.sql.execution.arrow.maxRecordsPerBatch),
+  never by the logical partition's total size, so a terabyte partition
+  writes in constant memory;
+- each data file commits atomically (temp name + rename) and emits one
+  manifest row ``(job_id, part_id, row_count, bytes_out, cell_min,
   cell_max, source_files, wall_ms, status)``;
-- the manifest itself is committed last (parquet + ``_SUCCESS.json``);
+- the manifest itself is committed last (parquet + ``_SUCCESS.json``).
+  This write-then-manifest protocol is what makes the scheme object-store
+  safe: on S3/GCS (no atomic rename) the writer targets a unique object
+  name per attempt and the manifest — the single last commit — is the
+  only source of truth; readers and resume logic trust manifest entries,
+  never directory listings, so orphaned files from failed attempts are
+  invisible;
 - resume = anti-join: completed part_ids (from the manifest) are filtered
   out *before* any work — their images are never decoded again — and the
   surviving partitions append their manifest rows.
@@ -68,16 +79,24 @@ def checkpointed_write(
     out_dir: str,
     job_id: str,
     id_col: str,
-    n_parts: int = 64,
+    n_parts: int | None = 64,
     cell_col: str | None = None,
     source_col: str | None = None,
     resume: bool = True,
 ) -> pd.DataFrame:
     """Write ``df`` to ``out_dir`` in ``n_parts`` deterministic logical
     partitions; returns the full manifest (pandas). Safe to re-run: on
-    resume, completed partitions are skipped entirely."""
+    resume, completed partitions are skipped entirely.
+
+    Memory-bounded by construction: each task streams Arrow batches into
+    per-partition ``pyarrow.ParquetWriter``s — it never holds a logical
+    partition in memory. ``n_parts=None`` derives the count from the
+    input's scan parallelism (resume granularity tracks data volume).
+    """
     os.makedirs(out_dir, exist_ok=True)
     done = completed_parts(out_dir) if resume else set()
+    if n_parts is None:
+        n_parts = max(8, df.rdd.getNumPartitions())
 
     work = df.withColumn(
         "__part", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_parts)).cast("int")
@@ -89,39 +108,64 @@ def checkpointed_write(
     cell = cell_col if cell_col in data_cols else None
     src = source_col if source_col in data_cols else None
 
-    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.time()
-        part = int(pdf["__part"].iloc[0])
-        body = pdf[data_cols]
-        final = os.path.join(out_dir, f"part={part}.parquet")
-        tmp = final + f".tmp-{os.getpid()}"
-        table = pa.Table.from_pandas(body, preserve_index=False)
-        pq.write_table(table, tmp)
-        size = os.path.getsize(tmp)
-        os.replace(tmp, final)  # atomic commit of the partition
-        return pd.DataFrame(
-            [
+    # one task per logical partition (a task may receive several parts if
+    # hash-colliding; the writer keeps one open ParquetWriter per part)
+    work = work.repartition(int(n_parts), F.col("__part"))
+
+    def write_stream(batches):
+        writers: dict[int, dict] = {}
+        for pdf in batches:
+            for part_key, g in pdf.groupby("__part", sort=False):
+                part = int(part_key)
+                body = g[data_cols]
+                table = pa.Table.from_pandas(body, preserve_index=False)
+                st = writers.get(part)
+                if st is None:
+                    final = os.path.join(out_dir, f"part={part}.parquet")
+                    tmp = final + f".tmp-{os.getpid()}"
+                    st = writers[part] = {
+                        "t0": time.time(),
+                        "final": final,
+                        "tmp": tmp,
+                        "schema": table.schema,
+                        "writer": pq.ParquetWriter(tmp, table.schema),
+                        "rows": 0,
+                        "cmin": None,
+                        "cmax": None,
+                        "sources": set(),
+                    }
+                st["writer"].write_table(table.cast(st["schema"]))
+                st["rows"] += len(body)
+                if cell:
+                    lo, hi = int(g[cell].min()), int(g[cell].max())
+                    st["cmin"] = lo if st["cmin"] is None else min(st["cmin"], lo)
+                    st["cmax"] = hi if st["cmax"] is None else max(st["cmax"], hi)
+                if src and len(st["sources"]) < 64:
+                    st["sources"].update(g[src].astype(str).unique().tolist())
+        rows = []
+        for part, st in sorted(writers.items()):
+            st["writer"].close()
+            size = os.path.getsize(st["tmp"])
+            os.replace(st["tmp"], st["final"])  # atomic commit of the part
+            rows.append(
                 {
                     "job_id": job_id,
                     "part_id": part,
-                    "row_count": len(body),
+                    "row_count": st["rows"],
                     "bytes_out": size,
-                    "cell_min": int(pdf[cell].min()) if cell else 0,
-                    "cell_max": int(pdf[cell].max()) if cell else 0,
-                    "source_files": json.dumps(
-                        sorted(pdf[src].astype(str).unique().tolist())[:20]
-                    )
+                    "cell_min": st["cmin"] if st["cmin"] is not None else 0,
+                    "cell_max": st["cmax"] if st["cmax"] is not None else 0,
+                    "source_files": json.dumps(sorted(st["sources"])[:20])
                     if src
                     else "[]",
-                    "wall_ms": int((time.time() - t0) * 1000),
+                    "wall_ms": int((time.time() - st["t0"]) * 1000),
                     "status": "ok",
                 }
-            ]
-        )
+            )
+        if rows:
+            yield pd.DataFrame(rows)
 
-    new_manifest = (
-        work.groupBy("__part").applyInPandas(write_group, MANIFEST_SCHEMA).toPandas()
-    )
+    new_manifest = work.mapInPandas(write_stream, MANIFEST_SCHEMA).toPandas()
 
     mp = manifest_path(out_dir)
     if resume and os.path.exists(mp):

@@ -184,3 +184,61 @@ def test_mosaic_mapcombine_equals_salted(images):
     assert (a["n_images"].to_numpy() == b["n_images"].to_numpy()).all()
     for x, y in zip(a["mosaic"], b["mosaic"]):
         assert bytes(x) == bytes(y)
+
+
+def test_fused_pipeline_matches_standalone(images):
+    """decoded_features must reproduce decode_stats, cell_tile_rollup and
+    cell_mosaic exactly from ONE decode pass (the 100TB plan shape)."""
+    from gjspark.operators.fused import (
+        decoded_features,
+        mosaic_from_features,
+        rollup_from_features,
+    )
+    from gjspark.operators.tiling import cell_mosaic_mapcombine
+
+    sub = images.limit(6000).cache()
+    feat = decoded_features(sub).cache()
+    try:
+        # decode stats parity (crc32 / phash / luma / flags)
+        a = (
+            feat.select(
+                "image_id", "pix_crc32", "phash_decoded", "mean_luma",
+                "decode_ok", "dims_ok",
+            )
+            .toPandas().sort_values("image_id").reset_index(drop=True)
+        )
+        b = (
+            decode_stats(sub)
+            .select(
+                "image_id", "pix_crc32", "phash_decoded", "mean_luma",
+                "decode_ok", "dims_ok",
+            )
+            .toPandas().sort_values("image_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # rollup parity (exact, including float luma columns)
+        ra = (
+            rollup_from_features(feat).toPandas()
+            .sort_values("cell").reset_index(drop=True)
+        )
+        rb = (
+            cell_tile_rollup(sub).toPandas()
+            .sort_values("cell").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(ra, rb)
+        # mosaic byte parity vs the map-combine plan
+        ma = (
+            mosaic_from_features(feat).toPandas()
+            .sort_values("cell").reset_index(drop=True)
+        )
+        mb = (
+            cell_mosaic_mapcombine(sub).toPandas()
+            .sort_values("cell").reset_index(drop=True)
+        )
+        assert (ma["cell"].to_numpy() == mb["cell"].to_numpy()).all()
+        assert (ma["n_images"].to_numpy() == mb["n_images"].to_numpy()).all()
+        for x, y in zip(ma["mosaic"], mb["mosaic"]):
+            assert bytes(x) == bytes(y)
+    finally:
+        feat.unpersist()
+        sub.unpersist()
