@@ -391,6 +391,55 @@ def q_upsert(spark, sf_dir):
     )
 
 
+def q_graph(spark, sf_dir):
+    """Full SensorThings entity graph (Location/Thing/Sensor/
+    ObservedProperty/FeatureOfInterest/Datastream/MultiDatastream/
+    Observation) with FK resolution incl. MultiDatastream obs-prop id
+    lists and Observation->FoI links. Oracle: pure-Python single-process
+    golden with from-spec XXH64 ids (independent of Spark end-to-end)."""
+    from gjspark.operators.entities import graph_demo_configs, sensorthings_graph
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    feats = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
+    g = sensorthings_graph(feats, graph_demo_configs())
+    fk_cols = {
+        "Location": [],
+        "Thing": ["location_id"],
+        "Sensor": [],
+        "ObservedProperty": [],
+        "FeatureOfInterest": [],
+        "Datastream": ["observedproperty_id", "sensor_id", "thing_id"],
+        "MultiDatastream": ["data_types", "obs_prop_ids", "sensor_id", "thing_id"],
+        "Observation": ["datastream_id", "foi_id"],
+    }
+    parts = []
+    for etype, df in g.items():
+        cols = sorted(fk_cols[etype])  # sorted -> matches json sort_keys
+        fks = (
+            F.to_json(
+                F.struct(*[F.col(c) for c in cols]),
+                {"ignoreNullFields": "false"},
+            )
+            if cols
+            else F.lit("{}")
+        )
+        parts.append(
+            df.select(
+                F.col("entity_type"),
+                F.col("cache_key"),
+                F.col("name"),
+                F.col("op"),
+                F.col("entity_id"),
+                fks.alias("fks_json"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_csv_points(spark, sf_dir):
     from gjspark.sources.csv_points import read_csv_points
 
@@ -644,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mosaic": q_mosaic,
         "q_preview": q_preview,
         "q_upsert": q_upsert,
+        "q_graph": q_graph,
         "q_csv_points": q_csv_points,
         "q_crs_points": q_crs_points,
     }
@@ -781,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",
         "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",
+        "q_graph": f"SELECT * FROM read_parquet('{fx}/expected_graph.parquet')",
         "q_csv_points": f"SELECT * FROM read_parquet('{fx}/expected_csv_points.parquet')",
         "q_crs_points": f"SELECT * FROM read_parquet('{fx}/expected_points25832.parquet')",
         # full second implementations of the LSH pipelines in SQL:

@@ -480,7 +480,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L4"
+LIGHT_VERSION = "L5"
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -617,6 +617,87 @@ def oracle_points_25832():
     return rows
 
 
+def oracle_graph(feats):
+    """Pure-Python single-process golden for the q_graph contract query:
+    replicates sensorthings_graph (keep-first entity cache, find-or-create
+    with deterministic ids, FK resolution incl. MultiDatastream's ordered
+    obs-prop id list and Observation->FoI) WITHOUT Spark — ids come from
+    the from-spec XXH64 (gjspark.functions.xxhash), so the comparison is
+    an independent implementation end-to-end."""
+    from gjspark.functions.xxhash import spark_entity_id
+    from gjspark.operators.entities import graph_demo_configs
+    from gjspark.operators.template import render_template
+
+    configs = graph_demo_configs()
+    om_type = (
+        "http://www.opengis.net/def/observationType/OGC-OM/2.0/OM_Measurement"
+    )
+    rows = []
+    ids: dict[tuple, str] = {}  # (etype, cache_key) -> entity_id
+    for etype in (
+        "Location", "Thing", "Sensor", "ObservedProperty",
+        "FeatureOfInterest", "Datastream", "MultiDatastream", "Observation",
+    ):
+        cfg = configs[etype]
+        seen: set[str] = set()
+        for f in feats:
+            p = f["properties"]
+            name = render_template(cfg.template_name, p)
+            if not name.strip():
+                continue
+            key = render_template(cfg.template_cache_key, p)
+            if etype != "Observation":
+                if key in seen:
+                    continue
+                seen.add(key)
+            eid = spark_entity_id(etype, key)
+            ids[(etype, key)] = eid
+            fks = {}
+            if etype == "Thing":
+                fks["location_id"] = ids.get(("Location", key))
+            if etype in ("Datastream", "MultiDatastream"):
+                fks["thing_id"] = ids.get(
+                    ("Thing", render_template(cfg.extra_templates["thing_key"], p))
+                )
+                fks["sensor_id"] = ids.get(
+                    ("Sensor", render_template(cfg.extra_templates["sensor_key"], p))
+                )
+            if etype == "Datastream":
+                fks["observedproperty_id"] = ids.get(
+                    ("ObservedProperty",
+                     render_template(cfg.extra_templates["obs_prop_key"], p))
+                )
+            if etype == "MultiDatastream":
+                keys = json.loads(
+                    render_template(cfg.extra_templates["obs_prop_keys"], p)
+                )
+                op_ids = [ids.get(("ObservedProperty", k)) for k in keys]
+                fks["obs_prop_ids"] = op_ids
+                fks["data_types"] = [om_type] * len(op_ids)
+            if etype == "Observation":
+                fks["datastream_id"] = ids.get(
+                    ("Datastream",
+                     render_template(cfg.extra_templates["datastream_key"], p))
+                )
+                fks["foi_id"] = ids.get(
+                    ("FeatureOfInterest",
+                     render_template(cfg.extra_templates["foi_key"], p))
+                )
+            rows.append(
+                {
+                    "entity_type": etype,
+                    "cache_key": key,
+                    "name": name,
+                    "op": "create",
+                    "entity_id": eid,
+                    "fks_json": json.dumps(
+                        fks, sort_keys=True, separators=(",", ":")
+                    ),
+                }
+            )
+    return rows
+
+
 def _ensure_light(root: str) -> None:
     """Cheap goldens (no image generation): preview/upsert/CSV/CRS."""
     stamp = os.path.join(root, f".stamp-light-{LIGHT_VERSION}")
@@ -628,6 +709,7 @@ def _ensure_light(root: str) -> None:
         ("expected_upsert.parquet", oracle_upsert(feats)),
         ("expected_csv_points.parquet", oracle_csv_points()),
         ("expected_points25832.parquet", oracle_points_25832()),
+        ("expected_graph.parquet", oracle_graph(feats)),
     ):
         _write_parquet(
             os.path.join(root, name), {k: [r[k] for r in rows] for k in rows[0]}

@@ -177,6 +177,74 @@ def nuts_config() -> list[CreatorConfig]:
     ]
 
 
+def graph_demo_configs() -> dict[str, CreatorConfig]:
+    """Full-graph demo config over the NUTS fixture: every entity type
+    the reference's converter creates (GeoJsonConverter.java:211-236),
+    exercised by the q_graph contract query and its pure-Python golden
+    (fixtures/generator.oracle_graph)."""
+    return {
+        "Location": CreatorConfig(
+            entity_type="Location",
+            template_name="{NUTS_NAME}",
+            template_description="Area {NUTS_ID}",
+            template_cache_key="{type}-{NUTS_ID}",
+            with_geometry=True,
+        ),
+        "Thing": CreatorConfig(
+            entity_type="Thing",
+            template_name="{NUTS_NAME}",
+            template_description="Region {NUTS_ID}",
+            template_cache_key="{type}-{NUTS_ID}",
+        ),
+        "Sensor": CreatorConfig(
+            entity_type="Sensor",
+            template_name="sensor {CNTR_CODE}",
+            template_cache_key="S-{CNTR_CODE}",
+        ),
+        "ObservedProperty": CreatorConfig(
+            entity_type="ObservedProperty",
+            template_name="op level {LEVL_CODE|0}",
+            template_cache_key="OP-{LEVL_CODE|0}",
+        ),
+        "FeatureOfInterest": CreatorConfig(
+            entity_type="FeatureOfInterest",
+            template_name="foi {NUTS_ID}",
+            template_description="FoI {NUTS_NAME}",
+            template_cache_key="F-{NUTS_ID}",
+            with_geometry=True,
+        ),
+        "Datastream": CreatorConfig(
+            entity_type="Datastream",
+            template_name="ds {NUTS_ID}",
+            template_cache_key="DS-{NUTS_ID}",
+            extra_templates={
+                "thing_key": "{type}-{NUTS_ID}",
+                "sensor_key": "S-{CNTR_CODE}",
+                "obs_prop_key": "OP-{LEVL_CODE|0}",
+            },
+        ),
+        "MultiDatastream": CreatorConfig(
+            entity_type="MultiDatastream",
+            template_name="mds {CNTR_CODE}",
+            template_cache_key="MDS-{CNTR_CODE}",
+            extra_templates={
+                "thing_key": "{type}-{NUTS_ID}",
+                "sensor_key": "S-{CNTR_CODE}",
+                "obs_prop_keys": '["OP-0", "OP-{LEVL_CODE|0}"]',
+            },
+        ),
+        "Observation": CreatorConfig(
+            entity_type="Observation",
+            template_name="obs {NUTS_ID}",
+            template_cache_key="O-{NUTS_ID}",
+            extra_templates={
+                "datastream_key": "DS-{NUTS_ID}",
+                "foi_key": "F-{NUTS_ID}",
+            },
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # FK resolution (J4): relationships as key joins
 # ---------------------------------------------------------------------------
@@ -210,17 +278,25 @@ def sensorthings_graph(
     snapshots: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Build the full SensorThings entity graph from a features DF:
-    Location -> Thing (linked) -> Datastream (FKs to Thing/Sensor/
-    ObservedProperty) -> Observation (FK to Datastream), all as
-    find-or-create upserts + broadcast FK joins — the distributed
-    translation of the reference's fixed per-feature creator order
-    (``geojson/GeoJsonConverter.java:211-236``)."""
+    Location -> Thing (linked) -> FeatureOfInterest -> Datastream (FKs to
+    Thing/Sensor/ObservedProperty) -> MultiDatastream (FKs to Thing/
+    Sensor + obs-prop id list) -> Observation (FKs to Datastream or
+    MultiDatastream, and FeatureOfInterest), all as find-or-create
+    upserts + broadcast FK joins — the distributed translation of the
+    reference's fixed per-feature creator order
+    (``geojson/GeoJsonConverter.java:211-236``, FoI at ``:214``;
+    FoI find-or-create ``utils/FrostUtils.java:356-382``;
+    MultiDatastream ``utils/FrostUtils.java:545-619`` — its update diff
+    covers name/description/properties, with dataTypes generated as one
+    OM_Measurement per observed property on create;
+    Observation->FoI link ``geojson/CreatorObservation.java:184-187``)."""
     from gjspark.operators.upsert import find_or_create
 
     snapshots = snapshots or {}
     out: dict[str, DataFrame] = {}
     for etype in (
-        "Location", "Thing", "Sensor", "ObservedProperty", "Datastream",
+        "Location", "Thing", "Sensor", "ObservedProperty",
+        "FeatureOfInterest", "Datastream", "MultiDatastream",
         "Observation",
     ):
         cfg = configs.get(etype)
@@ -249,7 +325,7 @@ def sensorthings_graph(
                 child_key="cache_key",
                 fk_name="location_id",
             )
-        if etype == "Datastream":
+        if etype in ("Datastream", "MultiDatastream"):
             for parent, key_col in (
                 ("Thing", "thing_key"),
                 ("Sensor", "sensor_key"),
@@ -262,13 +338,89 @@ def sensorthings_graph(
                         child_key=key_col,
                         fk_name=f"{parent.lower()}_id",
                     )
-        if etype == "Observation" and "Datastream" in out:
-            if "datastream_key" in ents.columns:
+        if etype == "MultiDatastream":
+            if "obs_prop_keys" in ents.columns and "ObservedProperty" in out:
+                ents = resolve_fk_list(
+                    ents,
+                    out["ObservedProperty"].select("cache_key", "entity_id"),
+                    keys_col="obs_prop_keys",
+                    fk_name="obs_prop_ids",
+                )
+                # dataTypes: one OM_Measurement per observed property
+                # (FrostUtils.java:573-576)
+                ents = ents.withColumn(
+                    "data_types",
+                    F.transform(
+                        F.col("obs_prop_ids"),
+                        lambda _: F.lit(
+                            "http://www.opengis.net/def/observationType/"
+                            "OGC-OM/2.0/OM_Measurement"
+                        ),
+                    ),
+                )
+        if etype == "Observation":
+            if "Datastream" in out and "datastream_key" in ents.columns:
                 ents = resolve_fk(
                     ents,
                     out["Datastream"].select("cache_key", "entity_id"),
                     child_key="datastream_key",
                     fk_name="datastream_id",
                 )
+            if "MultiDatastream" in out and "mds_key" in ents.columns:
+                ents = resolve_fk(
+                    ents,
+                    out["MultiDatastream"].select("cache_key", "entity_id"),
+                    child_key="mds_key",
+                    fk_name="multidatastream_id",
+                )
+            if "FeatureOfInterest" in out and "foi_key" in ents.columns:
+                ents = resolve_fk(
+                    ents,
+                    out["FeatureOfInterest"].select("cache_key", "entity_id"),
+                    child_key="foi_key",
+                    fk_name="foi_id",
+                )
         out[etype] = ents
     return out
+
+
+def resolve_fk_list(
+    child: DataFrame,
+    parent: DataFrame,
+    keys_col: str,
+    parent_key: str = "cache_key",
+    parent_id: str = "entity_id",
+    fk_name: str = "fk_ids",
+) -> DataFrame:
+    """Resolve a rendered JSON-array-of-keys column to an ordered list of
+    parent entity ids (MultiDatastream -> ObservedProperties,
+    ``utils/FrostUtils.java:578``): posexplode the key array, broadcast-
+    join each key, re-assemble ordered by position. Unresolved keys keep
+    NULL in place (caller decides drop vs fail)."""
+    keys_arr = F.from_json(F.col(keys_col), T.ArrayType(T.StringType()))
+    exploded = child.select(
+        F.col("cache_key").alias("__ck"), F.posexplode(keys_arr).alias("__pos", "__k")
+    )
+    p = F.broadcast(
+        parent.select(
+            F.col(parent_key).alias("__k"), F.col(parent_id).alias("__pid")
+        ).dropDuplicates(["__k"])
+    )
+    resolved = (
+        exploded.join(p, "__k", "left")
+        .groupBy("__ck")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__pid")))
+            ).alias("__pairs")
+        )
+        .select(
+            "__ck",
+            F.transform(F.col("__pairs"), lambda s: s["__pid"]).alias(fk_name),
+        )
+    )
+    return child.join(
+        F.broadcast(resolved),
+        child["cache_key"] == resolved["__ck"],
+        "left",
+    ).drop("__ck")

@@ -64,6 +64,11 @@ def deep_merge(target: dict, source: dict, max_depth: int = 10) -> dict:
 @pandas_udf(T.StringType())
 def deep_merge_json(target: pd.Series, source: pd.Series) -> pd.Series:
     def merge(t, s):
+        if t is None and s is None:
+            # both sides have no properties -> still no properties; a
+            # synthesized "{}" here would flag a spurious update vs a
+            # NULL snapshot (reference addProperties(null, null) = no-op)
+            return None
         td = json.loads(t) if t else {}
         sd = json.loads(s) if s else {}
         return json.dumps(deep_merge(td, sd), sort_keys=True)
@@ -91,6 +96,7 @@ def find_or_create(
     snapshot: DataFrame | None,
     entity_type: str,
     key_col: str = "cache_key",
+    equals_col: str | None = None,
     check_ambiguous: bool = True,
 ) -> DataFrame:
     """-> entities + (entity_id, op) where op in ('create','update','noop').
@@ -99,6 +105,16 @@ def find_or_create(
     properties_json, geometry_json). ``snapshot``: existing server state
     with (location_id/..., cache_key, name, description, properties_json,
     geometry_json) or None for an empty server.
+
+    Two probes, like the reference (P9): first the in-memory cache key
+    (``key_col``); rows that miss are probed again by the equality-filter
+    key ``equals_col`` — the reference's server-side OData filter, which
+    defaults to ``name eq '<name>'`` when no filter is configured
+    (``utils/FrostUtils.java:702-708`` addOrCreateFilter,
+    ``:637-661`` findOrCreateLocation). Snapshots keyed differently than
+    the template cache key are therefore still found instead of
+    silently duplicated. >1 snapshot match for a probed equality key
+    fails fast like ``FrostUtils.java:646-648``.
     """
     det_id = F.concat(
         F.lit(f"{entity_type.lower()}-"),
@@ -133,6 +149,68 @@ def find_or_create(
         ).alias("__snap_geom"),
     )
     joined = entities.join(F.broadcast(snap), key_col, "left")
+
+    if equals_col is not None:
+        # second probe (P9): rows missing in the cache-key join retry on
+        # the equality-filter key. Fail fast when a probed key matches
+        # more than one snapshot entity.
+        snap2 = snapshot.select(
+            F.col(id_col).alias("__s2_id"),
+            F.col(equals_col).alias("__s2_key"),
+            F.col("name").alias("__s2_name"),
+            F.col("description").alias("__s2_desc"),
+            (
+                F.col("properties_json")
+                if "properties_json" in snap_cols
+                else F.lit(None).cast("string")
+            ).alias("__s2_props"),
+            (
+                F.col("geometry_json")
+                if "geometry_json" in snap_cols
+                else F.lit(None).cast("string")
+            ).alias("__s2_geom"),
+        )
+        probed = (
+            joined.filter(F.col("__snap_id").isNull())
+            .select(F.col(equals_col).alias("__s2_key"))
+            .distinct()
+        )
+        dup = (
+            snap2.join(F.broadcast(probed), "__s2_key")
+            .groupBy("__s2_key")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise AmbiguousMatchError(
+                f"more than one entity matches filter "
+                f"{equals_col} eq {dup[0]['__s2_key']!r}"
+            )
+        joined = joined.join(
+            F.broadcast(snap2),
+            joined[equals_col] == snap2["__s2_key"],
+            "left",
+        )
+        # take probe-2 fields ONLY for rows the cache probe missed — a
+        # cache hit with legitimately-NULL props must not inherit props
+        # from a name-coincident entity
+        cache_miss = F.col("__snap_id").isNull()
+        for a, b in (
+            ("__snap_name", "__s2_name"),
+            ("__snap_desc", "__s2_desc"),
+            ("__snap_props", "__s2_props"),
+            ("__snap_geom", "__s2_geom"),
+        ):
+            joined = joined.withColumn(
+                a, F.when(cache_miss, F.col(b)).otherwise(F.col(a))
+            )
+        joined = joined.withColumn(
+            "__snap_id", F.coalesce(F.col("__snap_id"), F.col("__s2_id"))
+        ).drop(
+            "__s2_id", "__s2_key", "__s2_name", "__s2_desc", "__s2_props", "__s2_geom"
+        )
 
     merged_props = deep_merge_json(F.col("__snap_props"), F.col("properties_json"))
     # changed when any tracked field differs (maybeUpdateLocation semantics:

@@ -131,3 +131,29 @@ class TestEntityGraph:
         parent = spark.createDataFrame([("K1", "P1")], "cache_key string, entity_id string")
         out = {r["id"]: r["pkey_id"] for r in resolve_fk(child, parent, "pkey").collect()}
         assert out == {"c1": "P1", "c2": None}
+
+
+class TestFullGraph:
+    def test_foi_mds_observation_links(self, spark, fixtures_dir):
+        """FoI find-or-create (FrostUtils.java:356-382), MultiDatastream
+        (FrostUtils.java:545-619) and Observation->FoI
+        (CreatorObservation.java:184-187) in the distributed graph."""
+        from gjspark.operators.entities import graph_demo_configs
+
+        feats = read_feature_collection(spark, f"{fixtures_dir}/features_nuts.geojson")
+        g = sensorthings_graph(feats, graph_demo_configs())
+        assert {"FeatureOfInterest", "MultiDatastream", "Observation"} <= set(g)
+        obs = g["Observation"].toPandas()
+        assert obs["foi_id"].notna().all()
+        assert obs["datastream_id"].notna().all()
+        fois = set(g["FeatureOfInterest"].toPandas()["entity_id"])
+        assert set(obs["foi_id"]).issubset(fois)
+        mds = g["MultiDatastream"].toPandas()
+        # one per country, ordered obs-prop id lists, dataTypes same length
+        assert len(mds) == 4
+        assert mds["thing_id"].notna().all()
+        ops = set(g["ObservedProperty"].toPandas()["entity_id"])
+        for op_ids, dts in zip(mds["obs_prop_ids"], mds["data_types"]):
+            assert len(op_ids) == 2 and len(dts) == 2
+            assert set(op_ids).issubset(ops)
+            assert all("OM_Measurement" in d for d in dts)

@@ -226,3 +226,71 @@ def test_phenomenon_midpoint(spark):
     # Instant-precise midpoint (reference: start + duration/2, truncated)
     assert out["s"] == sub + dt.timedelta(microseconds=250000)
     assert df.select(phenomenon_start()).collect()[0][0] == t
+
+
+class TestEqualsFilterLookup:
+    """P9: the reference's second probe — server-side equality filter
+    (default `name eq ...`) for rows the cache key missed
+    (FrostUtils.java:637-661, addOrCreateFilter :702-708)."""
+
+    def _ents(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "cache_key string, name string, description string, "
+            "properties_json string, geometry_json string",
+        )
+
+    def test_second_probe_finds_by_name(self, spark):
+        from gjspark.operators.upsert import find_or_create
+
+        ents = self._ents(spark, [("NEW-KEY", "Berlin", "d", None, None)])
+        snap = spark.createDataFrame(
+            [("loc-9", "OLD-KEY", "Berlin", "d", None, None)],
+            "location_id string, cache_key string, name string, "
+            "description string, properties_json string, geometry_json string",
+        )
+        out = find_or_create(
+            ents, snap, "Location", equals_col="name", check_ambiguous=False
+        ).collect()[0]
+        assert out["op"] == "noop"
+        assert out["entity_id"] == "loc-9"
+        # without the second probe the same row silently duplicates
+        dup = find_or_create(ents, snap, "Location", check_ambiguous=False).collect()[0]
+        assert dup["op"] == "create"
+
+    def test_cache_hit_wins_over_name_match(self, spark):
+        from gjspark.operators.upsert import find_or_create
+
+        ents = self._ents(spark, [("K1", "SameName", "d", None, None)])
+        snap = spark.createDataFrame(
+            [
+                ("loc-1", "K1", "SameName", "d", '{"a": 1}', None),
+                ("loc-2", "K2", "SameName", "other", '{"b": 2}', None),
+            ],
+            "location_id string, cache_key string, name string, "
+            "description string, properties_json string, geometry_json string",
+        )
+        out = find_or_create(
+            ents, snap, "Location", equals_col="name", check_ambiguous=False
+        ).collect()[0]
+        assert out["entity_id"] == "loc-1"  # cache probe takes precedence
+        assert '"a"' in out["properties_json"]
+
+    def test_ambiguous_equality_match_fails_fast(self, spark):
+        import pytest as _pytest
+
+        from gjspark.operators.upsert import AmbiguousMatchError, find_or_create
+
+        ents = self._ents(spark, [("MISS", "Dup", "d", None, None)])
+        snap = spark.createDataFrame(
+            [
+                ("loc-1", "A", "Dup", "d", None, None),
+                ("loc-2", "B", "Dup", "d", None, None),
+            ],
+            "location_id string, cache_key string, name string, "
+            "description string, properties_json string, geometry_json string",
+        )
+        with _pytest.raises(AmbiguousMatchError, match="more than one entity"):
+            find_or_create(
+                ents, snap, "Location", equals_col="name", check_ambiguous=False
+            ).collect()
