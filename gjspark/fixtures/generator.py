@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 from gjspark.functions import codecs as C
 from gjspark.functions import geometry as G
-from gjspark.functions import h3x, s2
+from gjspark.functions import hexcell as h3x, s2
 from gjspark.functions.crs import tm_forward
 
 VERSION = "v10"

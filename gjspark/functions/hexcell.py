@@ -1,21 +1,30 @@
-"""H3-style hierarchical hexagonal cell index in pure numpy (vectorized).
+"""``hexcell``: hierarchical hexagonal cell index in pure numpy.
 
-From-scratch aperture-7 hex indexing over the 20 faces of an icosahedron
-with gnomonic projection — the same mathematical construction as the public
-H3 grid (h3geo.org/docs/core-library/overview): icosahedral faces, gnomonic
-face planes, aperture-7 hex lattices whose orientation rotates by
-``asin(sqrt(3/28)) ~= 19.107 deg`` per resolution, alternating Class II/III
-grids. Resolutions 0..15 supported; the engine uses 7..12 per the north
-rule.
+**NOT canonical H3.** Cell ids from this module do NOT interoperate with
+libh3 / the published H3 id space — downstream systems expecting H3 ids
+cannot join against them. The module was renamed from ``h3x`` to make
+that explicit. What IS shared with H3 is the mathematical construction
+(h3geo.org/docs/core-library/overview, public spec): icosahedral faces,
+gnomonic face planes, aperture-7 hex lattices whose orientation rotates
+by ``asin(sqrt(3/28)) ~= 19.107 deg`` per resolution, alternating
+Class II/III grids. Resolutions 0..15 supported; the engine uses 7..12
+per the north rule — the ``h3_r{res}`` column names denote this
+H3-*style* resolution ladder, not canonical H3 ids.
 
-Canonical H3 cell *values* (the 122-base-cell table) cannot be validated in
-this sandbox (no h3 package, no network), so the id layout is our own
-documented packing rather than H3's base-cell digit string:
+Canonical H3 cell *values* (the 122-base-cell table + per-cell
+orientations) cannot be validated in this sandbox (no h3 package, no
+network for test vectors), so the id layout is our own documented
+packing rather than H3's base-cell digit string:
 
     bits 62..59  resolution (4 bits)
     bits 58..54  icosahedron face 0..19 (5 bits)
     bits 53..27  axial i + OFFSET (27 bits)
     bits 26..0   axial j + OFFSET (27 bits)
+
+Every property a cell-equi-join prefilter, k-ring kNN, or tiling rollup
+needs (hierarchy, locality, ~uniform area, ring algebra) holds and is
+invariant-tested; swapping in canonical ids in production is a drop-in
+replacement of ``h3_index``/``h3_parent``/``h3_kring``.
 
 All grid-algebra invariants of a true aperture-7 hierarchy hold and are
 tested: k-ring sizes 1/7/19/37, neighbor symmetry, parent containment of

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from gjspark.functions import h3x, s2
+from gjspark.functions import hexcell as h3x, s2
 
 H3_RESOLUTIONS = (7, 8, 9, 10, 11, 12)
 S2_LEVEL = 16

@@ -61,12 +61,17 @@ def read_csv_points(
     if not header:
         df = df.toDF(*[str(i) for i in range(len(df.columns))])
     prop_cols = list(df.columns)
-    # rowSkip: order is file order within a partition; acceptable because the
-    # reference's rowSkip is also positional (CsvLoaderOptions.java:118)
+    # rowSkip is PER FILE positional (CsvLoaderOptions.java:118): drop the
+    # first N data rows of each input file. Window partitioned by file —
+    # one task per file (parallel across files), never a global total
+    # sort. Within a file, monotonically_increasing_id follows split
+    # order, which FileScan assigns in file-offset order.
     if row_skip:
         from pyspark.sql import Window
 
-        w = Window.orderBy(F.monotonically_increasing_id())
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
         df = (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") > row_skip)

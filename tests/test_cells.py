@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from gjspark.functions import h3x, s2
+from gjspark.functions import hexcell as h3x, s2
 
 rng = np.random.default_rng(42)
 LAT = rng.uniform(-85, 85, 5000)

@@ -181,3 +181,25 @@ def test_headerless_csv_positional_keys(spark, tmp_path):
     props = json.loads(pdf.iloc[0]["properties"])
     assert set(props) == {"0", "1", "2", "3"}  # positional keys
     assert pdf.iloc[0]["lon"] == 6.803341
+
+
+def test_csv_row_skip_is_per_file(spark, tmp_path):
+    """rowSkip is per-file positional (CsvLoaderOptions.java:118): with
+    multi-file input each file drops its own first N data rows — not the
+    first N of the concatenated dataset."""
+    from gjspark.sources.csv_points import read_csv_points
+
+    for tag in ("a", "b"):
+        (tmp_path / f"{tag}.csv").write_text(
+            "name;easting;northing;crs\n"
+            + "".join(
+                f"{tag.upper()}{i};69{i}000.0;533{i}000.0;25832\n"
+                for i in range(1, 4)
+            )
+        )
+    out = read_csv_points(
+        spark, str(tmp_path), x_col="easting", y_col="northing",
+        crs_col="crs", row_skip=2,
+    )
+    ids = sorted(r["feature_id"] for r in out.collect())
+    assert ids == ["A3", "B3"], ids
