@@ -167,6 +167,20 @@ def q_validator_window(spark, sf_dir):
     return out.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
+def q_obs_cache(spark, sf_dir):
+    """W2 ObsCache range prune: existing obs (even ids) restricted to the
+    per-stream minimum incoming (odd ids) phenomenonTime."""
+    from gjspark.operators.obs_cache import pruned_existing
+
+    e = _t(spark, sf_dir, "events")
+    out = pruned_existing(_events_as_obs(e, 0), _events_as_obs(e, 1))
+    return out.select(
+        F.col("obs_id").alias("event_id"),
+        F.col("ds_key").alias("user_id"),
+        F.unix_timestamp("t_start").alias("ts_epoch"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """A2 windowed min/max/stddev rollup (SensorThingsUtils aggregates —
     the reference only creates the containers; we compute the values)."""
@@ -440,6 +454,47 @@ def q_graph(spark, sf_dir):
     return out
 
 
+_AGG_UOM = '{"definition":"ucum:Cel","name":"degree Celsius","symbol":"C"}'
+
+
+def q_agg_containers(spark, sf_dir):
+    """A2 aggregation containers (SensorThingsUtils.java:55-185): per
+    Datastream, the [1 hour]/[1 day] MultiDatastreams with Min/Max/Dev
+    aggregate obs-prop ids, repeated uoms, and the chained aggregateFor.
+    Oracle: pure-Python golden with from-spec XXH64 ids."""
+    from gjspark.operators.aggregates import aggregation_containers
+    from gjspark.operators.entities import CreatorConfig, create_entities
+    from gjspark.operators.upsert import find_or_create
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    feats = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
+    cfg = CreatorConfig(
+        entity_type="Datastream",
+        template_name="ds {NUTS_ID}",
+        template_description="Datastream {NUTS_ID}",
+        template_cache_key="DS-{NUTS_ID}",
+        extra_templates={"obs_prop_name": "op level {LEVL_CODE|0}"},
+    )
+    ds = find_or_create(create_entities(feats, cfg), None, "Datastream")
+    ds_in = ds.select(
+        "entity_id", "name", "description", "obs_prop_name",
+        F.lit(_AGG_UOM).alias("uom_json"),
+    )
+    out = aggregation_containers(ds_in)
+    return out.select(
+        "entity_id",
+        "name",
+        "description",
+        "level",
+        "aggregate_for",
+        F.to_json(F.col("obs_prop_names")).alias("obs_prop_names_json"),
+        F.to_json(F.col("obs_prop_ids")).alias("obs_prop_ids_json"),
+        F.to_json(F.col("uoms")).alias("uoms_json"),
+        F.size("data_types").cast("long").alias("n_data_types"),
+    )
+
+
 def q_csv_points(spark, sf_dir):
     from gjspark.sources.csv_points import read_csv_points
 
@@ -671,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_validator_newer": q_validator_newer,
         "q_validator_byphentime": q_validator_byphentime,
         "q_validator_window": q_validator_window,
+        "q_obs_cache": q_obs_cache,
         "q_events_hourly": q_events_hourly,
         "q_word_freq": q_word_freq,
         # training-data ops
@@ -694,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_preview": q_preview,
         "q_upsert": q_upsert,
         "q_graph": q_graph,
+        "q_agg_containers": q_agg_containers,
         "q_csv_points": q_csv_points,
         "q_crs_points": q_crs_points,
     }
@@ -756,6 +813,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n FROM events
             WHERE ts > TIMESTAMP '{_CUTOFF_LO}' AND ts < TIMESTAMP '{_CUTOFF_HI}'
             GROUP BY event_type
+        """,
+        "q_obs_cache": """
+            SELECT e.event_id, e.user_id::VARCHAR AS user_id,
+                   floor(epoch(e.ts))::BIGINT AS ts_epoch
+            FROM events e
+            JOIN (SELECT user_id, min(ts) AS tmin FROM events
+                  WHERE event_id % 2 = 1 GROUP BY 1) m
+              ON e.user_id = m.user_id
+            WHERE e.event_id % 2 = 0 AND e.ts >= m.tmin
         """,
         "q_events_hourly": """
             SELECT event_type,
@@ -832,6 +898,9 @@ def oracle_sql() -> dict[str, str]:
         "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",
         "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",
         "q_graph": f"SELECT * FROM read_parquet('{fx}/expected_graph.parquet')",
+        "q_agg_containers": (
+            f"SELECT * FROM read_parquet('{fx}/expected_agg_containers.parquet')"
+        ),
         "q_csv_points": f"SELECT * FROM read_parquet('{fx}/expected_csv_points.parquet')",
         "q_crs_points": f"SELECT * FROM read_parquet('{fx}/expected_points25832.parquet')",
         # full second implementations of the LSH pipelines in SQL:

@@ -225,6 +225,9 @@ def run_scaling(levels=(2, 8, 32), reps: int = 2) -> None:
     eff_2_8 = (thr[8] / thr[2]) / 4.0 if 2 in thr else None
     eff_8_32 = (thr[32] / thr[8]) / 4.0 if 32 in thr else None
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # raw per-level results survive BASELINE.md rewrites
+    with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as f:
+        json.dump({str(t): results[t] for t in levels}, f, indent=1)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — scaling evidence (N -> 4N parallelism)\n\n"

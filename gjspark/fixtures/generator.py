@@ -480,7 +480,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L5"
+LIGHT_VERSION = "L6"
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -698,6 +698,58 @@ def oracle_graph(feats):
     return rows
 
 
+def oracle_agg_containers(feats):
+    """Pure-Python golden for q_agg_containers (SensorThingsUtils.java
+    semantics: Min/Max/Dev aggregate ops, [1 hour]/[1 day] containers,
+    chained aggregateFor), Spark-free via the from-spec XXH64."""
+    from gjspark.functions.xxhash import spark_entity_id
+    from gjspark.operators.template import render_template
+
+    uom = '{"definition":"ucum:Cel","name":"degree Celsius","symbol":"C"}'
+    levels = (("HOURLY", "[1 hour]", "Aggregated hourly"),
+              ("DAILY", "[1 day]", "Aggregated daily"))
+    rows = []
+    for f in feats:
+        p = f["properties"]
+        name = render_template("ds {NUTS_ID}", p)
+        if not name.strip():
+            continue
+        desc = render_template("Datastream {NUTS_ID}", p)
+        key = render_template("DS-{NUTS_ID}", p)
+        ds_id = spark_entity_id("Datastream", key)
+        op_name = render_template("op level {LEVL_CODE|0}", p)
+        op_names = [op_name] + [f"{op_name} {s}" for s in ("Min", "Max", "Dev")]
+        op_ids = [spark_entity_id("ObservedProperty", n) for n in op_names]
+        prev_mds_id = None
+        for i, (level, postfix, word) in enumerate(levels):
+            mds_name = f"{name} {postfix}"
+            mds_id = spark_entity_id("MultiDatastream", mds_name)
+            agg_for = (
+                f"/Datastreams({ds_id})"
+                if i == 0
+                else f"/MultiDatastreams({prev_mds_id})"
+            )
+            rows.append(
+                {
+                    "entity_id": mds_id,
+                    "name": mds_name,
+                    "description": f"{desc} {word}",
+                    "level": level,
+                    "aggregate_for": agg_for,
+                    "obs_prop_names_json": json.dumps(
+                        op_names, separators=(",", ":")
+                    ),
+                    "obs_prop_ids_json": json.dumps(
+                        op_ids, separators=(",", ":")
+                    ),
+                    "uoms_json": json.dumps([uom] * 4, separators=(",", ":")),
+                    "n_data_types": 4,
+                }
+            )
+            prev_mds_id = mds_id
+    return rows
+
+
 def _ensure_light(root: str) -> None:
     """Cheap goldens (no image generation): preview/upsert/CSV/CRS."""
     stamp = os.path.join(root, f".stamp-light-{LIGHT_VERSION}")
@@ -710,6 +762,7 @@ def _ensure_light(root: str) -> None:
         ("expected_csv_points.parquet", oracle_csv_points()),
         ("expected_points25832.parquet", oracle_points_25832()),
         ("expected_graph.parquet", oracle_graph(feats)),
+        ("expected_agg_containers.parquet", oracle_agg_containers(feats)),
     ):
         _write_parquet(
             os.path.join(root, name), {k: [r[k] for r in rows] for k in rows[0]}

@@ -129,9 +129,13 @@ def decoded_features(
                 for i0 in range(0, len(idxs), step):
                     chunked.append(((h, w, _c), idxs[i0 : i0 + step]))
             for (h, w, _c), idxs in chunked:
-                stack = np.stack([imgs[k] for k in idxs]).astype(np.float64)
-                chan_sum = stack.sum(axis=3)  # (n, h, w)
-                integ = np.zeros((len(idxs), h + 1, w + 1))
+                # float32 pixel path: integer tile sums stay EXACT in
+                # float32 (max channel-sum cumsum 128*128*765 < 2^24),
+                # and memory traffic halves — the hot stages here are
+                # bandwidth-bound at 32 threads.
+                stack = np.stack([imgs[k] for k in idxs]).astype(np.float32)
+                chan_sum = stack.sum(axis=3, dtype=np.float32)  # (n, h, w)
+                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=np.float32)
                 integ[:, 1:, 1:] = chan_sum.cumsum(axis=1).cumsum(axis=2)
                 ys = np.unique(np.arange(0, h + TILE, TILE).clip(max=h))
                 xs = np.unique(np.arange(0, w + TILE, TILE).clip(max=w))
@@ -145,9 +149,9 @@ def decoded_features(
                 areas = np.outer(np.diff(ys), np.diff(xs))[None, :, :] * 3.0
                 means = s / areas
                 if h not in rm_cache:
-                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE)
+                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE).astype(np.float32)
                 if w not in rm_cache:
-                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE)
+                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE).astype(np.float32)
                 cf = stack.transpose(0, 3, 1, 2)  # (n, 3, h, w)
                 th = np.clip(
                     np.round(rm_cache[h] @ cf @ rm_cache[w].T), 0, 255

@@ -144,9 +144,11 @@ def image_tile_stats(images: DataFrame, cell_col: str = "h3_r7") -> DataFrame:
             for k, im in enumerate(imgs):
                 by_shape.setdefault(im.shape, []).append(k)
             for (h, w, _c), idxs in by_shape.items():
-                stack = np.stack([imgs[k] for k in idxs]).astype(np.float64)
-                chan_sum = stack.sum(axis=3)  # (n, h, w)
-                integ = np.zeros((len(idxs), h + 1, w + 1))
+                # float32 pixel path (see fused.py note): exact integer
+                # tile sums, half the memory traffic
+                stack = np.stack([imgs[k] for k in idxs]).astype(np.float32)
+                chan_sum = stack.sum(axis=3, dtype=np.float32)  # (n, h, w)
+                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=np.float32)
                 integ[:, 1:, 1:] = chan_sum.cumsum(axis=1).cumsum(axis=2)
                 ys = np.arange(0, h + TILE, TILE).clip(max=h)
                 xs = np.arange(0, w + TILE, TILE).clip(max=w)
@@ -343,11 +345,11 @@ def cell_mosaic(
             by_shape.setdefault(img.shape, []).append(img)
         for (h, w, _c), imgs in by_shape.items():
             if h not in rm_cache:
-                rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE)
+                rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE).astype(np.float32)
             if w not in rm_cache:
-                rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE)
+                rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE).astype(np.float32)
             # (n, 3, h, w) channel-first -> two BLAS matmuls, batched
-            stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float64)
+            stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float32)
             thumbs = rm_cache[h] @ stack @ rm_cache[w].T  # (n, 3, 32, 32)
             # integer partial: rounding once per image keeps the per-cell
             # sum independent of salt grouping
@@ -400,10 +402,10 @@ def cell_mosaic_mapcombine(
                 grp[1].append(int(cell))
             for (h, w, _c), (imgs, cells) in by_shape.items():
                 if h not in rm_cache:
-                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE)
+                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE).astype(np.float32)
                 if w not in rm_cache:
-                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE)
-                stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float64)
+                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE).astype(np.float32)
+                stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float32)
                 thumbs = np.clip(
                     np.round(rm_cache[h] @ stack @ rm_cache[w].T), 0, 255
                 ).astype(np.int64)  # (n, 3, 32, 32)

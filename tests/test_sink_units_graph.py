@@ -157,3 +157,48 @@ class TestFullGraph:
             assert len(op_ids) == 2 and len(dts) == 2
             assert set(op_ids).issubset(ops)
             assert all("OM_Measurement" in d for d in dts)
+
+
+class TestAggregationContainers:
+    def test_min_max_dev_ops_and_level_chain(self, spark):
+        """A2 scaffolding: SensorThingsUtils.java:128-155 (aggregate obs
+        props) and :157-185 (level containers with chained aggregateFor)."""
+        from gjspark.operators.aggregates import (
+            aggregate_observed_properties,
+            aggregation_containers,
+        )
+
+        ops = spark.createDataFrame(
+            [("Temperature", "The temp")], "name string, description string"
+        )
+        agg = aggregate_observed_properties(ops).toPandas()
+        assert list(agg["name"]) == [
+            "Temperature Min", "Temperature Max", "Temperature Dev",
+        ]
+        assert list(agg["description"]) == [
+            "The temp Minimum", "The temp Maximum",
+            "The temp Standard deviation",
+        ]
+        ds = spark.createDataFrame(
+            [("ds-1", "DS A", "Stream A", "Temperature", '{"s":"C"}')],
+            "entity_id string, name string, description string, "
+            "obs_prop_name string, uom_json string",
+        )
+        mds = (
+            aggregation_containers(ds).toPandas().set_index("level")
+        )
+        assert mds.loc["HOURLY", "name"] == "DS A [1 hour]"
+        assert mds.loc["DAILY", "name"] == "DS A [1 day]"
+        assert mds.loc["HOURLY", "description"] == "Stream A Aggregated hourly"
+        # chain: hourly -> the datastream; daily -> the hourly MDS
+        assert mds.loc["HOURLY", "aggregate_for"] == "/Datastreams(ds-1)"
+        assert mds.loc["DAILY", "aggregate_for"] == (
+            "/MultiDatastreams(" + mds.loc["HOURLY", "entity_id"] + ")"
+        )
+        assert list(mds.loc["HOURLY", "obs_prop_names"]) == [
+            "Temperature", "Temperature Min", "Temperature Max",
+            "Temperature Dev",
+        ]
+        # agg op ids line up with aggregate_observed_properties
+        assert mds.loc["HOURLY", "obs_prop_ids"][1] == agg["entity_id"][0]
+        assert len(mds.loc["HOURLY", "uoms"]) == 4

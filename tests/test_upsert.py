@@ -294,3 +294,45 @@ class TestEqualsFilterLookup:
             find_or_create(
                 ents, snap, "Location", equals_col="name", check_ambiguous=False
             ).collect()
+
+
+class TestObsCache:
+    """W2: windowed existing-obs fetch (validator/ObsCache.java:40-140)."""
+
+    def test_range_prune_per_stream(self, spark):
+        import datetime as dt
+
+        from gjspark.operators.obs_cache import pruned_existing
+
+        t = dt.datetime(2024, 3, 1)
+
+        def mk(rows):
+            return spark.createDataFrame(
+                rows, "obs_id string, ds_key string, t_start timestamp"
+            )
+
+        existing = mk(
+            [("e1", "ds1", t), ("e2", "ds1", t + dt.timedelta(hours=2)),
+             ("e3", "ds2", t), ("e4", "ds3", t)]
+        )
+        incoming = mk(
+            [("i1", "ds1", t + dt.timedelta(hours=1)),
+             ("i2", "ds2", t - dt.timedelta(hours=1))]
+        )
+        got = {r["obs_id"] for r in pruned_existing(existing, incoming).collect()}
+        # ds1: only e2 (>= t+1h); ds2: e3 (>= t-1h); ds3: nothing loaded
+        assert got == {"e2", "e3"}
+
+    def test_duplicate_cleanup(self, spark):
+        import datetime as dt
+
+        from gjspark.operators.obs_cache import duplicate_cleanup
+
+        t = dt.datetime(2024, 3, 1)
+        existing = spark.createDataFrame(
+            [("a", "ds1", t), ("b", "ds1", t), ("c", "ds1", t + dt.timedelta(1))],
+            "obs_id string, ds_key string, t_start timestamp",
+        )
+        kept, dele = duplicate_cleanup(existing)
+        assert {r["obs_id"] for r in kept.collect()} == {"b", "c"}
+        assert {r["obs_id"] for r in dele.collect()} == {"a"}
