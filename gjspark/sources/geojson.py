@@ -62,13 +62,23 @@ def _transform_coords(coords: np.ndarray, epsg, flip: bool, scale: int) -> np.nd
 def feature_to_row(
     feat: dict, idx: int, source_file: str, crs: str | None = None,
     flip: bool = False, number_scale: int = 6,
+    crs_template: str | None = None,
 ):
     """One GeoJSON Feature dict -> features-schema tuple."""
     geom = feat.get("geometry") or {}
     gtype = geom.get("type")
     props = feat.get("properties") or {}
-    # per-feature CRS override via properties (fixture convention)
-    eff_crs = props.get("crs", crs)
+    if crs_template:
+        # per-feature templated CRS (CreatorFeature.java:60-63: "Template
+        # used to generate the crs, using {path/to/field|default}
+        # placeholders"), rendered against the feature's properties
+        from gjspark.operators.template import render_template
+
+        rendered = render_template(crs_template, props).strip()
+        eff_crs = rendered or crs
+    else:
+        # per-feature CRS override via properties (fixture convention)
+        eff_crs = props.get("crs", crs)
     epsg = parse_crs(eff_crs)
     eff_flip = flip
     if epsg is not None and epsg == 4326 and str(eff_crs).lower().startswith("urn:"):
@@ -114,7 +124,8 @@ def feature_to_row(
 
 
 def _parse_files(
-    batches: Iterator[pd.DataFrame], crs: str | None, flip: bool, number_scale: int
+    batches: Iterator[pd.DataFrame], crs: str | None, flip: bool,
+    number_scale: int, crs_template: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
@@ -124,7 +135,11 @@ def _parse_files(
                 raise ValueError(f"{path}: not a FeatureCollection")  # parity:
                 # GeoJsonImportController.java:146-153 rejects non-FC input
             for idx, feat in enumerate(doc.get("features", [])):
-                rows.append(feature_to_row(feat, idx, path, crs, flip, number_scale))
+                rows.append(
+                    feature_to_row(
+                        feat, idx, path, crs, flip, number_scale, crs_template
+                    )
+                )
         yield pd.DataFrame(
             rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
         )
@@ -136,9 +151,15 @@ def read_feature_collection(
     crs: str | None = None,
     flip: bool = False,
     number_scale: int = 6,
+    crs_template: str | None = None,
 ) -> DataFrame:
-    """Distributed FeatureCollection scan: one task per file."""
+    """Distributed FeatureCollection scan: one task per file.
+
+    ``crs_template``: the reference's per-feature CRS template
+    (CreatorFeature.java:60-63), rendered against each feature's
+    properties; blank render falls back to ``crs``."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(
-        lambda it: _parse_files(it, crs, flip, number_scale), FEATURES_SCHEMA
+        lambda it: _parse_files(it, crs, flip, number_scale, crs_template),
+        FEATURES_SCHEMA,
     )

@@ -50,3 +50,43 @@ def test_half_even_rounding():
     assert round_half_even(np.array([1.5]), 0)[0] == 2.0
     assert round_half_even(np.array([2.5]), 0)[0] == 2.0
     assert round_half_even(np.array([1.2345665]), 6)[0] == 1.234566
+
+
+def test_per_feature_templated_crs(spark, tmp_path):
+    """CreatorFeature.java:60-63: the CRS itself is a template rendered
+    per feature ({path/to/field|default} placeholders)."""
+    import json
+
+    from gjspark.functions.crs import round_half_even, to_wgs84
+    from gjspark.sources.geojson import read_feature_collection
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {  # projected via nested property
+                "type": "Feature", "id": "p1",
+                "geometry": {"type": "Point", "coordinates": [692000.0, 5336000.0]},
+                "properties": {"meta": {"srid": "25832"}},
+            },
+            {  # missing property -> template default 4326 (passthrough)
+                "type": "Feature", "id": "p2",
+                "geometry": {"type": "Point", "coordinates": [10.5, 48.1]},
+                "properties": {},
+            },
+        ],
+    }
+    f = tmp_path / "fc.geojson"
+    f.write_text(json.dumps(fc))
+    out = {
+        r["feature_id"]: (r["lon"], r["lat"])
+        for r in read_feature_collection(
+            spark, str(f), crs_template="EPSG:{meta/srid|4326}"
+        ).collect()
+    }
+    import numpy as np
+
+    exp_lon, exp_lat = to_wgs84(np.array([692000.0]), np.array([5336000.0]), 25832)
+    assert out["p1"] == (
+        float(round_half_even(exp_lon)[0]), float(round_half_even(exp_lat)[0])
+    )
+    assert out["p2"] == (10.5, 48.1)
