@@ -114,6 +114,34 @@ def jaccard_udf(shingle_k: int = 5):
     return _j
 
 
+def shingle_set_udf(shingle_k: int = 5):
+    """text -> sorted distinct shingle hashes (int64 view of the uint64
+    polynomial hashes). Each document is shingled ONCE; candidate verify
+    then intersects the precomputed sorted arrays instead of re-hashing
+    the text per pair — a doc in k candidate pairs was previously
+    shingled k times (the dominant cost once bands yield many
+    moderately-similar candidates)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _s(text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_shingle_hashes(t or "", shingle_k).view(np.int64) for t in text]
+        )
+
+    return _s
+
+
+@pandas_udf(T.DoubleType())
+def _jaccard_sets(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.empty(len(a))
+    for i, (x, y) in enumerate(zip(a, b)):
+        xa = np.asarray(x, dtype=np.int64)
+        ya = np.asarray(y, dtype=np.int64)
+        inter = np.intersect1d(xa, ya, assume_unique=True).size
+        out[i] = inter / max(xa.size + ya.size - inter, 1)
+    return pd.Series(out)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -164,14 +192,18 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    pairs = (
-        cand.join(docs.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
-        .join(docs.select(F.col("id").alias("id_b"), F.col("t").alias("tb")), "id_b")
+    # verify: shingle each doc ONCE into a sorted distinct-hash array,
+    # join the arrays back by id, intersect per candidate pair
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingle_set_udf(shingle_k)(F.col(text_col)).alias("sh"),
     )
-    jac = jaccard_udf(shingle_k)
+    pairs = (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sb")), "id_b")
+    )
     return (
-        pairs.withColumn("jaccard", jac(F.col("ta"), F.col("tb")))
+        pairs.withColumn("jaccard", _jaccard_sets(F.col("sa"), F.col("sb")))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
