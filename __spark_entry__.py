@@ -252,6 +252,14 @@ def q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenization
+    (training-data pipeline requirement), pure Column exprs."""
+    from gjspark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_topk(spark, sf_dir):
     from gjspark.operators.ann import brute_force_topk
 
@@ -733,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_text_stats": q_text_stats,
         "q_fingerprint": q_fingerprint,
+        "q_token_counts": q_token_counts,
         "q_ann_topk": q_ann_topk,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
@@ -859,6 +868,14 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "q_token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'
+                   ))::BIGINT AS n_bpe_tokens
             FROM documents
         """,
         "q_ann_topk": """

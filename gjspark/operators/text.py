@@ -54,6 +54,27 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+# GPT-2-style pre-tokenizer shape (contractions, space-prefixed word /
+# number / punctuation runs, whitespace runs), restricted to ASCII
+# classes so the Java-regex (Spark) and RE2 (DuckDB oracle) engines
+# tokenize identically.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways (training-data pipeline requirement):
+    whitespace tokens and a BPE-ish regex pre-tokenization — both pure
+    Column expressions, JVM-side, with exact DuckDB twins."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+")).cast("long")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
 def quality_filter(stats: DataFrame, min_tokens: int = 10, max_punct: float = 0.3) -> DataFrame:
     """Keep docs passing simple quality gates (C4-style heuristics)."""
     return stats.filter(

@@ -154,3 +154,16 @@ class TestText:
         assert w.loc[2, "n_fingerprints"] == pytest.approx(
             w.loc[0, "n_fingerprints"], rel=0.2
         )
+
+
+def test_token_counts_bpe_ish(spark):
+    from gjspark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [(0, "I don't like rainy-days, 42 of them!"), (1, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in token_counts(df).collect()}
+    # "I don't like rainy-days, 42 of them!" ->
+    # [I][ don]['t][ like][ rainy][-][days][,][ 42][ of][ them][!] = 12
+    assert got[0] == (7, 12)
