@@ -61,3 +61,48 @@ def stream_hourly_rollup(obs_stream: DataFrame, value_col: str = "value") -> Dat
             "stddev_v",
         )
     )
+
+
+def stream_validator_newer(obs_stream: DataFrame) -> DataFrame:
+    """ValidatorNewer as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): per datastream, emit an observation
+    only if its phenomenonTime is strictly newer than every observation
+    seen before it — the exact order-sensitive semantics of
+    ``validator/ValidatorNewer.java:75-113`` (an incoming obs older than
+    the running latest is dropped even if it is newer than the last
+    *emitted* one). Not expressible as watermark+dropDuplicates (which
+    keys on equality) or groupBy-max (which loses the per-row emit
+    decision); the running ``latest`` per key lives in the state store
+    and survives across micro-batches.
+
+    Within a micro-batch rows are processed in ascending t_start
+    (deterministic); the state schema keeps epoch-micros (state-store
+    friendly fixed width).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_cols = ["ds_key", "obs_id", "t_start"]
+
+    def fn(key, pdfs, state: GroupState):
+        latest_us = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("t_start", kind="stable")
+            for obs_id, t in zip(pdf["obs_id"], pdf["t_start"]):
+                t_us = int(pd.Timestamp(t).value // 1000)
+                if latest_us is None or t_us > latest_us:
+                    rows.append((key[0], obs_id, t))
+                    latest_us = t_us
+        if latest_us is not None:
+            state.update((latest_us,))
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return obs_stream.groupBy("ds_key").applyInPandasWithState(
+        fn,
+        outputStructType="ds_key string, obs_id string, t_start timestamp",
+        stateStructType="latest_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

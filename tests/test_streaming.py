@@ -73,3 +73,54 @@ def test_stream_hourly(spark, stream_dir):
     by_key = {(r["ds_key"], r["window_start"]): r for r in got}
     r = by_key[("ds1", dt.datetime(2024, 3, 1, 10, 0))]
     assert r["n"] == 3 and r["min_v"] == 1.0 and r["max_v"] == 99.0
+
+
+def test_stream_validator_newer_stateful(spark, tmp_path):
+    """Custom stateful op: state (running latest per stream) must carry
+    ACROSS micro-batches — batch 2's older obs is dropped even though
+    batch 2 alone would accept it."""
+    from gjspark.streaming.validators import stream_validator_newer
+
+    t = dt.datetime(2024, 3, 1, 10, 0, 0)
+    p = str(tmp_path / "in2")
+    out = str(tmp_path / "out2")
+    ck = str(tmp_path / "ck")
+    os.makedirs(p)
+
+    def run_once():
+        src = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(p)
+        q = (
+            stream_validator_newer(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)  # same state store both runs
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: establishes latest = t+2h for ds1
+    spark.createDataFrame(
+        [("a1", "ds1", t, 1.0), ("a2", "ds1", t + dt.timedelta(hours=2), 2.0)],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(p)
+    run_once()
+    first = {r["obs_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {"a1", "a2"}
+
+    # batch 2: a3 older than ds1's cross-batch latest -> dropped
+    spark.createDataFrame(
+        [
+            ("a3", "ds1", t + dt.timedelta(hours=1), 3.0),
+            ("a4", "ds1", t + dt.timedelta(hours=3), 4.0),
+            ("b1", "ds2", t, 5.0),
+        ],
+        SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(p)
+    run_once()
+    got = {r["obs_id"] for r in spark.read.parquet(out).collect()}
+    assert "a3" not in got          # older than cross-batch state
+    assert {"a1", "a2", "a4", "b1"} <= got
