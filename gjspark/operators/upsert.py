@@ -76,6 +76,53 @@ def deep_merge_json(target: pd.Series, source: pd.Series) -> pd.Series:
     return pd.Series([merge(t, s) for t, s in zip(target, source)])
 
 
+def set_by_path(target: dict, path: str, value, sep: str = "/") -> dict:
+    """P13 set-by-path (``utils/CollectionsHelper.java:40-68`` setOn):
+    slash-split path, intermediate maps created on demand; a list or
+    scalar in the middle of the path raises, like the reference. Returns
+    a new dict (the reference mutates; column pipelines want purity)."""
+    parts = [p for p in path.split(sep) if p != ""]
+    if not parts:
+        raise ValueError("empty path")
+    out = dict(target)
+    node = out
+    for i, key in enumerate(parts[:-1]):
+        sub = node.get(key)
+        if sub is None:
+            new = {}
+        elif isinstance(sub, dict):
+            new = dict(sub)
+        elif isinstance(sub, list):
+            raise ValueError(f"Item at path element {key} is a list.")
+        else:
+            raise ValueError(f"Element at path index {i} is not a map or list.")
+        node[key] = new
+        node = new
+    node[parts[-1]] = value
+    return out
+
+
+def set_path_json(json_col, path: str, value_col):
+    """Column form of :func:`set_by_path` over a JSON-object column."""
+
+    @pandas_udf(T.StringType())
+    def _set(js: pd.Series, vals: pd.Series) -> pd.Series:
+        out = []
+        for j, v in zip(js, vals):
+            d = json.loads(j) if j else {}
+            out.append(json.dumps(set_by_path(d, path, v), sort_keys=True))
+        return pd.Series(out)
+
+    return _set(json_col, value_col)
+
+
+def entity_list_contains(links_col, entity_id) -> "F.Column":
+    """E2 (``utils/FrostUtils.java:266-273`` entityListsContains):
+    id-membership in an entity link array — the engine keeps entity
+    lists as id arrays, so this is exactly ``array_contains``."""
+    return F.array_contains(links_col, entity_id)
+
+
 def assert_unambiguous(snapshot: DataFrame, key_col: str = "cache_key") -> None:
     """Fail-fast when any cache key maps to >1 snapshot entity."""
     dup = (

@@ -336,3 +336,34 @@ class TestObsCache:
         kept, dele = duplicate_cleanup(existing)
         assert {r["obs_id"] for r in kept.collect()} == {"b", "c"}
         assert {r["obs_id"] for r in dele.collect()} == {"a"}
+
+
+class TestPathAndContains:
+    def test_set_by_path(self):
+        from gjspark.operators.upsert import set_by_path
+
+        d = {"a": {"b": 1}, "keep": "x"}
+        out = set_by_path(d, "a/c/d", 7)
+        assert out == {"a": {"b": 1, "c": {"d": 7}}, "keep": "x"}
+        assert d == {"a": {"b": 1}, "keep": "x"}  # pure, input untouched
+        assert set_by_path({}, "x", 1) == {"x": 1}
+        # reference error semantics (CollectionsHelper.java:58-67)
+        with pytest.raises(ValueError, match="is a list"):
+            set_by_path({"a": [1]}, "a/b", 2)
+        with pytest.raises(ValueError, match="not a map"):
+            set_by_path({"a": 5}, "a/b", 2)
+
+    def test_set_path_json_and_contains(self, spark):
+        from gjspark.operators.upsert import entity_list_contains, set_path_json
+
+        df = spark.createDataFrame(
+            [('{"a": {"b": 1}}', "v1", ["L1", "L2"]), (None, "v2", ["L3"])],
+            "props string, val string, links array<string>",
+        )
+        out = df.select(
+            set_path_json(F.col("props"), "a/c", F.col("val")).alias("p"),
+            entity_list_contains(F.col("links"), "L2").alias("has"),
+        ).collect()
+        assert out[0]["p"] == '{"a": {"b": 1, "c": "v1"}}'
+        assert out[1]["p"] == '{"a": {"c": "v2"}}'
+        assert out[0]["has"] is True and out[1]["has"] is False
