@@ -155,3 +155,90 @@ def resize_images(images: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
                 )
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling (training-data pipeline requirement): videos are
+# opaque binary columns; real codecs (mp4/webm) are not in this container,
+# so decode is stubbed behind NotImplementedError, while the Spark-side
+# plumbing — schema, batching, frame selection, output shape — is real and
+# tested against the deterministic 'rawvid' format (header
+# b'RAWV' + uint16 LE (w, h, n_frames) + n_frames raw RGB frames).
+# ---------------------------------------------------------------------------
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+        T.StructField("fw", T.IntegerType()),
+        T.StructField("fh", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+VIDEO_STUB_FORMATS = {"mp4", "webm", "avi", "mkv"}
+
+
+def _decode_video(data: bytes, fmt: str):
+    """-> (w, h, n_frames, frame_getter). 'rawvid' is the deterministic
+    test codec; container formats raise like the image stubs."""
+    if fmt in VIDEO_STUB_FORMATS:
+        raise NotImplementedError(f"video codec '{fmt}' requires external library")
+    if fmt != "rawvid" or data[:4] != b"RAWV":
+        raise ValueError(f"unknown video format {fmt!r}")
+    import struct as _struct
+
+    w, h, n = _struct.unpack("<HHH", data[4:10])
+    frame_bytes = w * h * 3
+
+    def get(i: int) -> bytes:
+        off = 10 + i * frame_bytes
+        return data[off : off + frame_bytes]
+
+    return w, h, n, get
+
+
+def sample_frames(videos: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Evenly frame-sample each video: emit ``n_frames`` frames at
+    indices ``round(j * (total-1) / (n-1))`` (dedup-preserving order;
+    all frames when total <= n). One mapInPandas pass, Arrow-batched;
+    undecodable videos are skipped (count them upstream via decode_ok
+    patterns if needed)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vid, fidx, ntot, fws, fhs, px = [], [], [], [], [], []
+            for b, f, v in zip(pdf["bytes"], pdf["fmt"], pdf["video_id"]):
+                try:
+                    w, h, n, get = _decode_video(bytes(b), f)
+                except (NotImplementedError, ValueError):
+                    continue
+                if n <= 0:
+                    continue
+                if n <= n_frames:
+                    picks = list(range(n))
+                else:
+                    picks = sorted(
+                        {int(round(j * (n - 1) / (n_frames - 1))) for j in range(n_frames)}
+                    )
+                for i in picks:
+                    vid.append(v)
+                    fidx.append(i)
+                    ntot.append(n)
+                    fws.append(w)
+                    fhs.append(h)
+                    px.append(get(i))
+            if vid:
+                yield pd.DataFrame(
+                    {
+                        "video_id": vid,
+                        "frame_idx": np.array(fidx, dtype=np.int32),
+                        "n_frames_total": np.array(ntot, dtype=np.int32),
+                        "fw": np.array(fws, dtype=np.int32),
+                        "fh": np.array(fhs, dtype=np.int32),
+                        "pixels": px,
+                    }
+                )
+
+    return videos.select("video_id", "bytes", "fmt").mapInPandas(run, FRAMES_SCHEMA)

@@ -167,3 +167,36 @@ def test_token_counts_bpe_ish(spark):
     # "I don't like rainy-days, 42 of them!" ->
     # [I][ don]['t][ like][ rainy][-][days][,][ 42][ of][ them][!] = 12
     assert got[0] == (7, 12)
+
+
+def test_video_frame_sampling(spark):
+    """Frame-sample plumbing with the deterministic rawvid codec; real
+    container formats raise like the image stubs (multimodal.py)."""
+    import struct
+
+    import numpy as np
+
+    from gjspark.operators.multimodal import sample_frames
+
+    def rawvid(w, h, n, seed):
+        frames = [
+            (np.full((h, w, 3), (seed + i) % 256, dtype=np.uint8)).tobytes()
+            for i in range(n)
+        ]
+        return b"RAWV" + struct.pack("<HHH", w, h, n) + b"".join(frames)
+
+    rows = [
+        ("v10", rawvid(4, 3, 10, 7), "rawvid"),   # 10 frames -> sample 4
+        ("v2", rawvid(2, 2, 2, 1), "rawvid"),     # fewer than n -> all
+        ("vmp4", b"\x00\x01", "mp4"),             # stubbed codec -> skipped
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, fmt string")
+    out = sample_frames(df, n_frames=4).toPandas()
+    g = out[out.video_id == "v10"].sort_values("frame_idx")
+    assert list(g["frame_idx"]) == [0, 3, 6, 9]   # even coverage incl. ends
+    assert (g["n_frames_total"] == 10).all()
+    # pixel payloads come from the right frames (value = seed + idx)
+    for idx, p in zip(g["frame_idx"], g["pixels"]):
+        assert bytes(p) == bytes(np.full((3, 4, 3), (7 + idx) % 256, dtype=np.uint8))
+    assert list(out[out.video_id == "v2"]["frame_idx"].sort_values()) == [0, 1]
+    assert "vmp4" not in set(out["video_id"])
