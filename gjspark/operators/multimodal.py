@@ -242,3 +242,80 @@ def sample_frames(videos: DataFrame, n_frames: int = 4) -> DataFrame:
                 )
 
     return videos.select("video_id", "bytes", "fmt").mapInPandas(run, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction: same stub-the-codec / keep-the-plumbing pattern.
+# Deterministic 'rawpcm' format: b'RAWA' + uint32 LE sample_rate +
+# uint32 LE n_samples + int16 LE mono samples.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+AUDIO_STUB_FORMATS = {"mp3", "ogg", "flac", "wav", "m4a"}
+
+
+def _decode_audio(data: bytes, fmt: str) -> tuple[int, np.ndarray]:
+    """-> (sample_rate, float64 samples in [-1, 1])."""
+    if fmt in AUDIO_STUB_FORMATS:
+        raise NotImplementedError(f"audio codec '{fmt}' requires external library")
+    if fmt != "rawpcm" or data[:4] != b"RAWA":
+        raise ValueError(f"unknown audio format {fmt!r}")
+    import struct as _struct
+
+    rate, n = _struct.unpack("<II", data[4:12])
+    samples = np.frombuffer(data, dtype="<i2", offset=12, count=n)
+    return rate, samples.astype(np.float64) / 32768.0
+
+
+def audio_features(audios: DataFrame) -> DataFrame:
+    """Per-clip features (duration, RMS, peak, zero-crossing rate) in one
+    vectorized mapInPandas pass — the audio leg of the multimodal
+    pipeline; swap ``_decode_audio`` for a real codec in production."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, durs, rms, peak, zcr = [], [], [], [], [], [], []
+            for b, f, aid in zip(pdf["bytes"], pdf["fmt"], pdf["audio_id"]):
+                try:
+                    rate, x = _decode_audio(bytes(b), f)
+                except (NotImplementedError, ValueError):
+                    continue
+                n = x.size
+                ids.append(aid)
+                rates.append(rate)
+                ns.append(n)
+                durs.append(n / rate if rate else 0.0)
+                rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+                peak.append(float(np.abs(x).max()) if n else 0.0)
+                zcr.append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "audio_id": ids,
+                        "sample_rate": np.array(rates, dtype=np.int32),
+                        "n_samples": np.array(ns, dtype=np.int64),
+                        "duration_s": durs,
+                        "rms": rms,
+                        "peak": peak,
+                        "zero_cross_rate": zcr,
+                    }
+                )
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
+    )

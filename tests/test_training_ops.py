@@ -200,3 +200,29 @@ def test_video_frame_sampling(spark):
         assert bytes(p) == bytes(np.full((3, 4, 3), (7 + idx) % 256, dtype=np.uint8))
     assert list(out[out.video_id == "v2"]["frame_idx"].sort_values()) == [0, 1]
     assert "vmp4" not in set(out["video_id"])
+
+
+def test_audio_features(spark):
+    import struct
+
+    import numpy as np
+
+    from gjspark.operators.multimodal import audio_features
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64) / rate
+    sine = (np.sin(2 * np.pi * 100 * t) * 32767 * 0.5).astype("<i2")  # 100 Hz, 1 s
+    blob = b"RAWA" + struct.pack("<II", rate, sine.size) + sine.tobytes()
+    df = spark.createDataFrame(
+        [("a1", blob, "rawpcm"), ("bad", b"\x00", "mp3")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    out = audio_features(df).toPandas()
+    assert list(out["audio_id"]) == ["a1"]
+    r = out.iloc[0]
+    assert r["sample_rate"] == rate and r["n_samples"] == rate
+    assert abs(r["duration_s"] - 1.0) < 1e-9
+    assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01   # sine RMS = A/sqrt(2)
+    assert abs(r["peak"] - 0.5) < 0.01
+    # 100 Hz sine crosses zero 200x per second -> zcr ~ 200/8000
+    assert abs(r["zero_cross_rate"] - 200 / rate) < 0.005
