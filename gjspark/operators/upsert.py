@@ -222,9 +222,14 @@ def find_or_create(
             .select(F.col(equals_col).alias("__s2_key"))
             .distinct()
         )
+        # Restrict the probe-2 build side to keys that actually missed the
+        # cache BEFORE joining. Otherwise a cache-HIT row whose equals key
+        # matches >1 snapshot entities would fan out into duplicate output
+        # rows (the dup fail-fast below only inspects probed keys, so the
+        # fan-out would be silent).
+        snap2 = snap2.join(F.broadcast(probed), "__s2_key")
         dup = (
-            snap2.join(F.broadcast(probed), "__s2_key")
-            .groupBy("__s2_key")
+            snap2.groupBy("__s2_key")
             .count()
             .filter(F.col("count") > 1)
             .limit(1)

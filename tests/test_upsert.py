@@ -270,9 +270,13 @@ class TestEqualsFilterLookup:
             "location_id string, cache_key string, name string, "
             "description string, properties_json string, geometry_json string",
         )
-        out = find_or_create(
+        rows = find_or_create(
             ents, snap, "Location", equals_col="name", check_ambiguous=False
-        ).collect()[0]
+        ).collect()
+        # a cache-HIT row whose name matches >1 snapshot entities must NOT
+        # fan out through the equals-probe join
+        assert len(rows) == 1
+        out = rows[0]
         assert out["entity_id"] == "loc-1"  # cache probe takes precedence
         assert '"a"' in out["properties_json"]
 
