@@ -30,10 +30,10 @@ import pyarrow.parquet as pq
 
 from gjspark.functions import codecs as C
 from gjspark.functions import geometry as G
-from gjspark.functions import hexcell as h3x, s2
+from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v10"
+VERSION = "v11"
 SEED = 42
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -480,7 +480,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L6"
+LIGHT_VERSION = "L7"
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):

@@ -1,5 +1,7 @@
-"""Cell-assignment operator: H3 res 7-12 + S2 columns (SURVEY.md §2.2
-P16/P17).
+"""Cell-assignment operator: canonical H3 res 7-12 + S2 columns
+(SURVEY.md §2.2 P16/P17). The h3_r* ids interoperate with libh3
+(functions/h3.py is validated against the published H3 test vectors), so
+downstream joins against real H3-indexed datasets work directly.
 
 One struct-returning vectorized pandas UDF computes all seven cell ids per
 Arrow batch — a single Python roundtrip instead of seven, ~7x less
@@ -16,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from gjspark.functions import hexcell as h3x, s2
+from gjspark.functions import h3 as h3x, s2
 
 H3_RESOLUTIONS = (7, 8, 9, 10, 11, 12)
 S2_LEVEL = 16

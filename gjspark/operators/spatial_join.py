@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gjspark.functions import geometry as G
-from gjspark.functions import hexcell as h3x
+from gjspark.functions import h3 as h3x
 
 # ---------------------------------------------------------------------------
 # Polygon cell cover

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from gjspark.functions import hexcell as h3x, s2
+from gjspark.functions import h3 as h3x, s2
 
 rng = np.random.default_rng(42)
 LAT = rng.uniform(-85, 85, 5000)
@@ -40,12 +40,16 @@ class TestH3X:
             assert (h3x.h3_index(clat, clng, res) == c).all()
 
     def test_hierarchy_mostly_nested(self):
-        # hex hierarchies are not perfectly nested (true of H3 proper too);
-        # interior points must agree, boundary band may not
+        # aperture-7 hierarchies are not perfectly nested: each outer
+        # child pokes outside its parent (the documented H3
+        # childToParent caveat), putting ~7% of random points in the
+        # wobble band where truncation-ancestor != direct coarse encode.
+        # The exact invariant (child CENTER is inside the parent) is
+        # tested in test_h3_canonical.py.
         c12 = h3x.h3_index(LAT, LNG, 12)
         c7 = h3x.h3_index(LAT, LNG, 7)
         agree = (h3x.h3_parent(c12, 7) == c7).mean()
-        assert agree > 0.99
+        assert agree > 0.85
 
     def test_kring_sizes(self):
         c = h3x.h3_index(LAT[:50], LNG[:50], 8)

@@ -9,7 +9,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from gjspark.functions import codecs as C
-from gjspark.functions import hexcell as h3x
+from gjspark.functions import h3 as h3x
 from gjspark.functions.crs import round_half_even
 from gjspark.operators.template import render_template
 from gjspark.operators.upsert import deep_merge
