@@ -382,7 +382,13 @@ def q_mosaic(spark, sf_dir):
 
     fx = _fixtures()
     imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
-    return mosaic_from_features(decoded_features(imgs)).select("cell", "n_images")
+    # probe the plan choice on the PRE-decode frame: cell counts are
+    # identical, and probing the unpersisted decoded frame would run the
+    # decode mapInPandas twice (the round-2 verdict's perf-weak item)
+    return mosaic_from_features(
+        decoded_features(imgs),
+        probe=imgs.select(F.col("h3_r7").alias("cell")),
+    ).select("cell", "n_images")
 
 
 def q_preview(spark, sf_dir):
@@ -520,6 +526,47 @@ def q_crs_points(spark, sf_dir):
     return read_feature_collection(
         spark, f"{fx}/features_points_25832.geojson"
     ).select("feature_id", "lon", "lat")
+
+
+def q_frames(spark, sf_dir):
+    """Video frame sampling (multimodal training-data op): decode the
+    deterministic rawvid container, pick <=4 evenly spaced frames per
+    clip. The oracle recomputes the sampling arithmetic in SQL over
+    per-frame md5s that the fixture generator derived from the SOURCE
+    pixel arrays before container encoding — so the container decode is
+    checked through an independent path."""
+    from gjspark.operators.multimodal import sample_frames
+
+    fx = _fixtures()
+    vids = spark.read.parquet(f"{fx}/videos_fixture.parquet")
+    return sample_frames(vids.select("video_id", "bytes", "fmt"), n_frames=4).select(
+        "video_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames_total").cast("long").alias("n_frames_total"),
+        F.col("fw").cast("long").alias("fw"),
+        F.col("fh").cast("long").alias("fh"),
+        F.md5(F.col("pixels")).alias("frame_md5"),
+    )
+
+
+def q_audio(spark, sf_dir):
+    """Audio feature extraction (duration/RMS/peak/ZCR) over the
+    deterministic rawpcm container; the oracle recomputes every feature
+    in SQL from the plain int16 sample lists stored alongside the
+    encoded bytes."""
+    from gjspark.operators.multimodal import audio_features
+
+    fx = _fixtures()
+    auds = spark.read.parquet(f"{fx}/audio_fixture.parquet")
+    return audio_features(auds.select("audio_id", "bytes", "fmt")).select(
+        "audio_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+    )
 
 
 def _minhash_oracle_sql(threshold: float = 0.5) -> str:
@@ -762,6 +809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_agg_containers": q_agg_containers,
         "q_csv_points": q_csv_points,
         "q_crs_points": q_crs_points,
+        # multimodal (video/audio) training-data ops
+        "q_frames": q_frames,
+        "q_audio": q_audio,
     }
 
 
@@ -920,6 +970,60 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_csv_points": f"SELECT * FROM read_parquet('{fx}/expected_csv_points.parquet')",
         "q_crs_points": f"SELECT * FROM read_parquet('{fx}/expected_points25832.parquet')",
+        # frame sampling re-derived in SQL from pre-encoding per-frame
+        # md5s (generator side) — the rounding j*(n-1)/(k-1) can never
+        # land on .5 exactly (2*j*(n-1) = 6m+3 is unsolvable), so SQL
+        # round == python round here
+        "q_frames": f"""
+            WITH v AS (
+              SELECT video_id, fw, fh, n_frames, frame_md5s
+              FROM read_parquet('{fx}/videos_fixture.parquet')
+              WHERE fmt = 'rawvid' AND n_frames > 0
+            ),
+            picks AS (
+              SELECT video_id, fw, fh, n_frames, frame_md5s,
+                     CASE WHEN n_frames <= 4 THEN j
+                          ELSE CAST(round(j * (n_frames - 1) / 3.0) AS INT)
+                     END AS frame_idx
+              FROM v, (SELECT unnest([0, 1, 2, 3]) AS j) js
+              WHERE j < least(n_frames, 4)
+            )
+            SELECT DISTINCT video_id,
+                   frame_idx::BIGINT AS frame_idx,
+                   n_frames::BIGINT AS n_frames_total,
+                   fw::BIGINT AS fw, fh::BIGINT AS fh,
+                   frame_md5s[frame_idx + 1] AS frame_md5
+            FROM picks
+        """,
+        # audio features recomputed from the plain sample lists
+        "q_audio": f"""
+            WITH a AS (
+              SELECT audio_id, sample_rate, samples
+              FROM read_parquet('{fx}/audio_fixture.parquet')
+              WHERE fmt = 'rawpcm'
+            ),
+            u AS (
+              SELECT audio_id, sample_rate, unnest(samples) AS v,
+                     generate_subscripts(samples, 1) AS i
+              FROM a
+            ),
+            u2 AS (
+              SELECT audio_id, sample_rate, v,
+                     lag(v) OVER (PARTITION BY audio_id ORDER BY i) AS pv
+              FROM u
+            )
+            SELECT audio_id,
+                   any_value(sample_rate)::BIGINT AS sample_rate,
+                   count(*)::BIGINT AS n_samples,
+                   round(count(*)::DOUBLE / any_value(sample_rate), 6) AS duration_s,
+                   round(sqrt(avg((v / 32768.0) * (v / 32768.0))), 6) AS rms,
+                   round(max(abs(v / 32768.0)), 6) AS peak,
+                   round(avg(CASE WHEN pv IS NULL THEN NULL
+                                  WHEN (v < 0) != (pv < 0) THEN 1.0
+                                  ELSE 0.0 END), 6) AS zero_cross_rate
+            FROM u2
+            GROUP BY audio_id
+        """,
         # full second implementations of the LSH pipelines in SQL:
         "q_minhash_pairs": _minhash_oracle_sql(threshold=0.5),
         "q_simhash_pairs": _simhash_oracle_sql(max_hamming=10),

@@ -480,7 +480,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L7"
+LIGHT_VERSION = "L8"
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -499,6 +499,83 @@ def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64
         "vec_id": list(range(n_base + n_dups)),
         "embedding": [[float(x) for x in v] for v in vecs],
     }
+
+
+def make_media_tables(n_videos: int = 60, n_audios: int = 100):
+    """Deterministic video/audio fixtures for the q_frames / q_audio
+    contract queries (SURVEY.md §2 multimodal training-data ops).
+
+    Videos are ``rawvid`` containers (RAWV + <HHH w,h,n> + raw RGB
+    frames); the parquet row also carries (fw, fh, n_frames,
+    frame_md5s) computed from the SOURCE pixel arrays *before* encoding,
+    so the DuckDB oracle checks the container decode through an
+    independent path. Audios are ``rawpcm`` (RAWA + <II rate,n> + int16
+    samples) with the plain ``samples`` list alongside for the SQL twin.
+    A few rows use stub container formats (mp4/webm/mp3) that both sides
+    must skip.
+    """
+    import hashlib
+    import struct
+
+    rng = np.random.default_rng(1104)
+    vids = {
+        "video_id": [], "fmt": [], "bytes": [],
+        "fw": [], "fh": [], "n_frames": [], "frame_md5s": [],
+    }
+    for i in range(n_videos):
+        vid = f"vid-{i:04d}"
+        if i % 12 == 11:
+            vids["video_id"].append(vid)
+            vids["fmt"].append("mp4" if i % 24 == 11 else "webm")
+            vids["bytes"].append(rng.integers(0, 256, 64, dtype=np.uint8).tobytes())
+            vids["fw"].append(0)
+            vids["fh"].append(0)
+            vids["n_frames"].append(0)
+            vids["frame_md5s"].append([])
+            continue
+        w = int(rng.integers(4, 17))
+        h = int(rng.integers(4, 17))
+        n = int(rng.integers(1, 13))
+        frames = [
+            rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        blob = b"RAWV" + struct.pack("<HHH", w, h, n) + b"".join(frames)
+        vids["video_id"].append(vid)
+        vids["fmt"].append("rawvid")
+        vids["bytes"].append(blob)
+        vids["fw"].append(w)
+        vids["fh"].append(h)
+        vids["n_frames"].append(n)
+        vids["frame_md5s"].append([hashlib.md5(f).hexdigest() for f in frames])
+
+    auds = {
+        "audio_id": [], "fmt": [], "bytes": [], "sample_rate": [], "samples": [],
+    }
+    for i in range(n_audios):
+        aid = f"aud-{i:04d}"
+        if i % 10 == 9:
+            auds["audio_id"].append(aid)
+            auds["fmt"].append("mp3" if i % 20 == 9 else "ogg")
+            auds["bytes"].append(rng.integers(0, 256, 48, dtype=np.uint8).tobytes())
+            auds["sample_rate"].append(0)
+            auds["samples"].append([])
+            continue
+        rate = int(rng.choice([8000, 16000, 44100]))
+        n = int(rng.integers(64, 2048))
+        t = np.arange(n)
+        freq = float(rng.uniform(50, 2000))
+        amp = float(rng.uniform(0.05, 0.9))
+        x = amp * np.sin(2 * np.pi * freq * t / rate)
+        x += rng.normal(0, 0.02, n)
+        s16 = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+        blob = b"RAWA" + struct.pack("<II", rate, n) + s16.tobytes()
+        auds["audio_id"].append(aid)
+        auds["fmt"].append("rawpcm")
+        auds["bytes"].append(blob)
+        auds["sample_rate"].append(rate)
+        auds["samples"].append([int(v) for v in s16])
+    return vids, auds
 
 
 def oracle_preview(feats):
@@ -770,6 +847,9 @@ def _ensure_light(root: str) -> None:
     _write_parquet(
         os.path.join(root, "embeddings_neardup.parquet"), make_neardup_embeddings()
     )
+    vids, auds = make_media_tables()
+    _write_parquet(os.path.join(root, "videos_fixture.parquet"), vids)
+    _write_parquet(os.path.join(root, "audio_fixture.parquet"), auds)
     with open(stamp, "w") as f:
         f.write(LIGHT_VERSION)
 

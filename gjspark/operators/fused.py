@@ -129,13 +129,17 @@ def decoded_features(
                 for i0 in range(0, len(idxs), step):
                     chunked.append(((h, w, _c), idxs[i0 : i0 + step]))
             for (h, w, _c), idxs in chunked:
-                # float32 pixel path: integer tile sums stay EXACT in
-                # float32 (max channel-sum cumsum 128*128*765 < 2^24),
-                # and memory traffic halves — the hot stages here are
-                # bandwidth-bound at 32 threads.
+                # float32 pixel path halves memory traffic (the hot
+                # stages are bandwidth-bound at 32 threads), but integer
+                # tile sums are only EXACT in float32 while the worst
+                # cumsum h*w*765 < 2^24. Larger frames (>=~149x149, i.e.
+                # real production imagery) switch the integral image to
+                # float64 so the documented exact-tile-sum invariant
+                # holds at every size, not just the test fixtures.
+                fdt = np.float32 if h * w * 765 < 2**24 else np.float64
                 stack = np.stack([imgs[k] for k in idxs]).astype(np.float32)
-                chan_sum = stack.sum(axis=3, dtype=np.float32)  # (n, h, w)
-                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=np.float32)
+                chan_sum = stack.sum(axis=3, dtype=fdt)  # (n, h, w)
+                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=fdt)
                 integ[:, 1:, 1:] = chan_sum.cumsum(axis=1).cumsum(axis=2)
                 ys = np.unique(np.arange(0, h + TILE, TILE).clip(max=h))
                 xs = np.unique(np.arange(0, w + TILE, TILE).clip(max=w))
@@ -219,7 +223,11 @@ def rollup_from_features(feat: DataFrame) -> DataFrame:
     )
 
 
-def mosaic_from_features(feat: DataFrame, combine: bool | None = None) -> DataFrame:
+def mosaic_from_features(
+    feat: DataFrame,
+    combine: bool | None = None,
+    probe: DataFrame | None = None,
+) -> DataFrame:
     """Per-cell mean-thumbnail mosaic from pre-decoded thumbs.
 
     Two plans, byte-identical (integer sums commute; tested):
@@ -236,10 +244,14 @@ def mosaic_from_features(feat: DataFrame, combine: bool | None = None) -> DataFr
       rows per (cell x partition) is large and a hot cell would
       otherwise flood one task.
     - ``combine=None`` (default): decide from a cheap count +
-      approx_count_distinct probe of the features frame.
+      approx_count_distinct probe. Pass ``probe`` (any frame with the
+      same ``cell`` distribution, e.g. the PRE-decode images frame) when
+      ``feat`` is unpersisted — probing ``feat`` itself would run the
+      whole decode ``mapInPandas`` a second time just to count rows.
     """
     if combine is None:
-        row = feat.agg(
+        src = probe if probe is not None else feat
+        row = src.agg(
             F.count("*").alias("n"), F.approx_count_distinct("cell").alias("c")
         ).first()
         nparts = max(feat.rdd.getNumPartitions(), 1)

@@ -218,6 +218,8 @@ def sample_frames(videos: DataFrame, n_frames: int = 4) -> DataFrame:
                     continue
                 if n <= n_frames:
                     picks = list(range(n))
+                elif n_frames == 1:
+                    picks = [(n - 1) // 2]  # single frame: the middle one
                 else:
                     picks = sorted(
                         {int(round(j * (n - 1) / (n_frames - 1))) for j in range(n_frames)}

@@ -145,10 +145,13 @@ def image_tile_stats(images: DataFrame, cell_col: str = "h3_r7") -> DataFrame:
                 by_shape.setdefault(im.shape, []).append(k)
             for (h, w, _c), idxs in by_shape.items():
                 # float32 pixel path (see fused.py note): exact integer
-                # tile sums, half the memory traffic
+                # tile sums while h*w*765 < 2^24, half the memory
+                # traffic; larger frames use a float64 integral image so
+                # exactness holds at production image sizes too
+                fdt = np.float32 if h * w * 765 < 2**24 else np.float64
                 stack = np.stack([imgs[k] for k in idxs]).astype(np.float32)
-                chan_sum = stack.sum(axis=3, dtype=np.float32)  # (n, h, w)
-                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=np.float32)
+                chan_sum = stack.sum(axis=3, dtype=fdt)  # (n, h, w)
+                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=fdt)
                 integ[:, 1:, 1:] = chan_sum.cumsum(axis=1).cumsum(axis=2)
                 ys = np.arange(0, h + TILE, TILE).clip(max=h)
                 xs = np.arange(0, w + TILE, TILE).clip(max=w)

@@ -242,3 +242,24 @@ def test_fused_pipeline_matches_standalone(images):
     finally:
         feat.unpersist()
         sub.unpersist()
+
+
+def test_large_image_tile_sums_exact(spark):
+    """Images past the float32 exactness bound (h*w*765 >= 2^24, i.e.
+    >= ~149x149) must switch the integral image to float64 so tile sums
+    stay integer-exact (the documented invariant) at production sizes."""
+    from gjspark.functions.codecs import encode_ppm
+    from gjspark.operators.fused import decoded_features
+
+    h = w = 200  # 200*200*765 = 30.6M > 2^24: float32 cumsum would drift
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("big-0", encode_ppm(img), "ppm", w, h, 0, "c", 0.0, 0.0, 1)],
+        "image_id string, bytes binary, fmt string, w int, h int, "
+        "phash long, caption string, lat double, lon double, h3_r7 long",
+    )
+    row = decoded_features(df).select("luma_wsum", "px").collect()[0]
+    exact = int(img.sum(dtype=np.int64))
+    assert row["px"] == h * w
+    assert abs(row["luma_wsum"] * 3.0 - exact) < 1e-6
