@@ -419,6 +419,26 @@ def q_upsert(spark, sf_dir):
     )
 
 
+def q_upsert_equals(spark, sf_dir):
+    """find-or-create WITH the equality-filter second probe (P9,
+    ``utils/FrostUtils.java:702-708`` addOrCreateFilter): a third of the
+    snapshot is keyed by a LEGACY cache-key scheme but still carries the
+    rendered name, so those rows are found only through the equals probe
+    instead of being duplicated. Oracle: pure-Python golden with
+    deterministic xxhash64 ids for the create path."""
+    from gjspark.operators.entities import nuts_config, preview
+    from gjspark.operators.upsert import find_or_create
+    from gjspark.sources.geojson import read_feature_collection
+
+    fx = _fixtures()
+    feats = read_feature_collection(spark, f"{fx}/features_nuts.geojson")
+    locs = preview(feats, [nuts_config()[0]])
+    snap = spark.read.parquet(f"{fx}/entity_snapshot_equals.parquet")
+    return find_or_create(
+        locs, snap, "Location", equals_col="name"
+    ).select("cache_key", "op", "entity_id", "name", "properties_json")
+
+
 def q_graph(spark, sf_dir):
     """Full SensorThings entity graph (Location/Thing/Sensor/
     ObservedProperty/FeatureOfInterest/Datastream/MultiDatastream/
@@ -805,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mosaic": q_mosaic,
         "q_preview": q_preview,
         "q_upsert": q_upsert,
+        "q_upsert_equals": q_upsert_equals,
         "q_graph": q_graph,
         "q_agg_containers": q_agg_containers,
         "q_csv_points": q_csv_points,
@@ -964,6 +985,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",
         "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",
+        "q_upsert_equals": (
+            f"SELECT * FROM read_parquet('{fx}/expected_upsert_equals.parquet')"
+        ),
         "q_graph": f"SELECT * FROM read_parquet('{fx}/expected_graph.parquet')",
         "q_agg_containers": (
             f"SELECT * FROM read_parquet('{fx}/expected_agg_containers.parquet')"
@@ -1036,7 +1060,19 @@ def oracle_sql() -> dict[str, str]:
         # at local[8] vs local[32]); regenerate via
         # tools/make_testdata_goldens.py. Recall >= 0.9 vs brute force is
         # separately asserted in tests/test_training_ops.py.
-        "q_ivf_topk": f"SELECT * FROM read_parquet('{fx}/expected_ivf_sf001.parquet')",
+        # neighbor IDs are golden-pinned (IVF probing is not
+        # SQL-expressible), but the cosine VALUES are re-derived by DuckDB
+        # from the raw embeddings — a regression that reports wrong
+        # similarities now hash-mismatches even if it returns the pinned
+        # neighbor set
+        "q_ivf_topk": f"""
+            SELECT g.vec_id, g.neighbor_id,
+                   round(list_cosine_similarity(
+                       q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cosine
+            FROM read_parquet('{fx}/expected_ivf_sf001.parquet') g
+            JOIN embeddings q ON q.vec_id = g.vec_id
+            JOIN embeddings n ON n.vec_id = g.neighbor_id
+        """,
         # brute-force all-pairs (algorithm-independent of the LSH path):
         "q_embed_pairs": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

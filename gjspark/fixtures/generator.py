@@ -33,7 +33,7 @@ from gjspark.functions import geometry as G
 from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v11"
+VERSION = "v12"
 SEED = 42
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -384,6 +384,105 @@ def make_entity_snapshot(feats):
     return rows
 
 
+def make_entity_snapshot_equals(feats):
+    """Snapshot for the equals-filter second-probe contract query (P9,
+    ``utils/FrostUtils.java:702-708``): 1/3 of rows are keyed by the
+    template cache key (cache-hit path), 1/3 by a LEGACY key scheme while
+    carrying the same rendered ``name`` — findable only through the
+    equality-filter probe — and 1/3 are absent (create path). Half the
+    legacy rows differ in description so the probe path exercises both
+    update and noop. Empty or duplicate names are skipped so the probe
+    is never ambiguous."""
+    from gjspark.operators.entities import nuts_config
+    from gjspark.operators.template import render_template
+
+    cfg = nuts_config()[0]
+    rows = []
+    seen_names = set()
+    for k, f in enumerate(feats):
+        if k % 3 == 2:
+            continue  # absent -> create path
+        p = f["properties"]
+        name = render_template(cfg.template_name, p)
+        if not name.strip() or name in seen_names:
+            continue
+        seen_names.add(name)
+        key = render_template(cfg.template_cache_key, p)
+        desc = render_template(cfg.template_description, p)
+        props = json.loads(render_template(cfg.template_properties, p))
+        props["lastUpdated"] = "2024-01-01"
+        geom = json.dumps(round_geometry(f["geometry"]), sort_keys=True)
+        if k % 3 == 1:  # legacy key: reachable only via the equals probe
+            key = f"LEGACY-{k:05d}"
+            if k % 6 == 1:
+                desc = desc + " (legacy wording)"  # -> update
+        rows.append(
+            {
+                "location_id": f"loc-{k:05d}",
+                "cache_key": key,
+                "name": name,
+                "description": desc,
+                "properties_json": json.dumps(props, sort_keys=True),
+                "geometry_json": geom,
+                "encoding_type": "application/geo+json",
+            }
+        )
+    return rows
+
+
+def oracle_upsert_equals(feats):
+    """Pure-Python golden for find-or-create WITH the equality-filter
+    second probe: cache-key hit first, then match by rendered name among
+    the remaining snapshot rows, else create (deterministic xxhash id)."""
+    from gjspark.functions.xxhash import spark_entity_id
+    from gjspark.operators.entities import nuts_config
+    from gjspark.operators.template import render_template
+    from gjspark.operators.upsert import deep_merge
+
+    cfg = nuts_config()[0]
+    snap_rows = make_entity_snapshot_equals(feats)
+    by_key = {r["cache_key"]: r for r in snap_rows}
+    by_name = {r["name"]: r for r in snap_rows}
+    rows = []
+    for f in feats:
+        p = f["properties"]
+        name = render_template(cfg.template_name, p)
+        if not name.strip():
+            continue
+        key = render_template(cfg.template_cache_key, p)
+        desc = render_template(cfg.template_description, p)
+        props_json = json.dumps(
+            json.loads(render_template(cfg.template_properties, p)), sort_keys=True
+        )
+        geom = json.dumps(round_geometry(f["geometry"]), sort_keys=True)
+        s = by_key.get(key) or by_name.get(name)
+        if s is None:
+            op, props_out, eid = "create", props_json, spark_entity_id("Location", key)
+        else:
+            merged = json.dumps(
+                deep_merge(json.loads(s["properties_json"]), json.loads(props_json)),
+                sort_keys=True,
+            )
+            changed = (
+                name != s["name"]
+                or desc != s["description"]
+                or merged != s["properties_json"]
+                or geom != s["geometry_json"]
+            )
+            op, props_out = ("update", merged) if changed else ("noop", merged)
+            eid = s["location_id"]
+        rows.append(
+            {
+                "cache_key": key,
+                "op": op,
+                "entity_id": eid,
+                "name": name,
+                "properties_json": props_out,
+            }
+        )
+    return rows
+
+
 def make_observations(n: int = 2000):
     """Validator truth-table input (V2-V7)."""
     rng = np.random.default_rng(SEED + 2)
@@ -480,7 +579,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L8"
+LIGHT_VERSION = "L9"
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -840,6 +939,8 @@ def _ensure_light(root: str) -> None:
         ("expected_points25832.parquet", oracle_points_25832()),
         ("expected_graph.parquet", oracle_graph(feats)),
         ("expected_agg_containers.parquet", oracle_agg_containers(feats)),
+        ("expected_upsert_equals.parquet", oracle_upsert_equals(feats)),
+        ("entity_snapshot_equals.parquet", make_entity_snapshot_equals(feats)),
     ):
         _write_parquet(
             os.path.join(root, name), {k: [r[k] for r in rows] for k in rows[0]}

@@ -2,18 +2,24 @@
 
 From-scratch implementation of the public S2 geometry scheme
 (s2geometry.io/devguide/s2cell_hierarchy): lat/lng -> unit-sphere XYZ ->
-cube face (6 faces, largest-|component| wins) -> (u,v) gnomonic face
-coords -> quadratic s/t transform -> discrete (i,j) at level 30 ->
-Hilbert-curve position -> 64-bit cell id
-``[face:3][hilbert pos:2*level][1][zeros]``.
+cube face (6 faces, largest-|component| wins, canonical UVW axes) ->
+(u,v) gnomonic face coords -> quadratic s/t transform (the published
+S2_QUADRATIC_PROJECTION) -> discrete (i,j) -> position on the canonical
+S2 space-filling curve (the s2coords.h kPosToIJ / kPosToOrientation
+permutation tables, odd faces starting axis-swapped) -> 64-bit cell id
+``[face:3][curve pos:2*level][1][zeros]``.
+
+Every construction step follows the published definition, and the
+spec-derivable vectors (the six face-cell ids, hierarchy/roundtrip
+invariants) are asserted in ``tests/test_cells.py``. End-to-end
+canonical-id equality with the real s2geometry library cannot be
+verified offline (no s2 binding in this sandbox and, unlike H3, no
+worked full-id examples in the public docs to hard-code) — treat
+interop as probable-but-unvalidated until a vector check runs.
 
 Not in the reference repo (it has no spatial index at all — per-feature
 linear scans, ``geojson/GeoJsonConverter.java:185-196``); required by the
 north rule for cell-equi-join prefilters at 10^12-row scale.
-
-No s2 library exists in this sandbox; invariants (containment, parent
-nesting, center round-trip, id well-formedness) are tested in
-``tests/test_cells.py``.
 """
 
 from __future__ import annotations
@@ -92,52 +98,58 @@ def st_to_uv(s):
     return np.where(s >= 0.5, (4 * s * s - 1) / 3.0, (1 - 4 * (1 - s) ** 2) / 3.0)
 
 
-def _ij_to_hilbert(i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
-    """Vectorized (i,j) -> Hilbert-curve distance at ``level`` (2 bits/step).
+# The canonical S2 space-filling curve (s2geometry s2coords.h, public):
+# per 2-bit step a 4-entry position<->(i,j) permutation selected by the
+# orientation state (bit0 = swap axes, bit1 = invert), updated per child.
+# Odd faces start with the swap orientation (S2CellId::FromFaceIJ).
+_POS_TO_IJ = np.array(
+    [
+        [0, 1, 3, 2],  # canonical order
+        [0, 2, 3, 1],  # axes swapped
+        [3, 2, 0, 1],  # bits inverted
+        [3, 1, 0, 2],  # swapped & inverted
+    ],
+    dtype=np.uint64,
+)
+_IJ_TO_POS = np.zeros((4, 4), dtype=np.uint64)
+for _o in range(4):
+    for _p in range(4):
+        _IJ_TO_POS[_o, _POS_TO_IJ[_o, _p]] = _p
+_POS_TO_ORIENT = np.array([1, 0, 0, 3], dtype=np.uint64)
 
-    Classic bitwise Hilbert conversion (Wikipedia "Hilbert curve" xy2d),
-    looped over ``level`` bit positions with array ops — O(level) vector
-    passes, no per-row Python.
-    """
-    i = i.astype(np.uint64).copy()
-    j = j.astype(np.uint64).copy()
+
+def _ij_to_hilbert(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized (face, i, j) -> canonical S2 curve position at
+    ``level`` (2 bits per step, orientation threaded per row)."""
+    i = i.astype(np.uint64)
+    j = j.astype(np.uint64)
+    orient = (np.asarray(face).astype(np.uint64) & np.uint64(1)).copy()
     d = np.zeros_like(i, dtype=np.uint64)
-    s = np.uint64(1) << np.uint64(level - 1)
     one = np.uint64(1)
-    while s > 0:
-        rx = ((i & s) > 0).astype(np.uint64)
-        ry = ((j & s) > 0).astype(np.uint64)
-        d += s * s * ((np.uint64(3) * rx) ^ ry)
-        # rotate quadrant
-        swap = ry == 0
-        flip = swap & (rx == 1)
-        i_f = np.where(flip, s - one - i, i)
-        j_f = np.where(flip, s - one - j, j)
-        i, j = np.where(swap, j_f, i_f), np.where(swap, i_f, j_f)
-        s >>= one
+    for k in range(level - 1, -1, -1):
+        kk = np.uint64(k)
+        ij = (((i >> kk) & one) << one) | ((j >> kk) & one)
+        pos = _IJ_TO_POS[orient, ij]
+        d = (d << np.uint64(2)) | pos
+        orient = orient ^ _POS_TO_ORIENT[pos]
     return d
 
 
-def _hilbert_to_ij(d: np.ndarray, level: int) -> tuple[np.ndarray, np.ndarray]:
-    d = d.astype(np.uint64).copy()
-    n = np.uint64(1) << np.uint64(level)
+def _hilbert_to_ij(
+    face: np.ndarray, d: np.ndarray, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    d = d.astype(np.uint64)
+    orient = (np.asarray(face).astype(np.uint64) & np.uint64(1)).copy()
     i = np.zeros_like(d)
     j = np.zeros_like(d)
-    s = np.uint64(1)
     one = np.uint64(1)
-    t = d.copy()
-    while s < n:
-        rx = one & (t // np.uint64(2))
-        ry = one & (t ^ rx)
-        swap = ry == 0
-        flip = swap & (rx == 1)
-        i_f = np.where(flip, s - one - i, i)
-        j_f = np.where(flip, s - one - j, j)
-        i, j = np.where(swap, j_f, i_f), np.where(swap, i_f, j_f)
-        i = i + s * rx
-        j = j + s * ry
-        t //= np.uint64(4)
-        s <<= one
+    for k in range(level - 1, -1, -1):
+        kk = np.uint64(k)
+        pos = (d >> (np.uint64(2) * kk)) & np.uint64(3)
+        ij = _POS_TO_IJ[orient, pos]
+        i |= ((ij >> one) & one) << kk
+        j |= (ij & one) << kk
+        orient = orient ^ _POS_TO_ORIENT[pos]
     return i, j
 
 
@@ -150,7 +162,7 @@ def s2_cell(lat_deg, lng_deg, level: int = 16) -> np.ndarray:
     n = 1 << level
     i = np.clip((uv_to_st(u) * n).astype(np.int64), 0, n - 1)
     j = np.clip((uv_to_st(v) * n).astype(np.int64), 0, n - 1)
-    pos = _ij_to_hilbert(i, j, level)
+    pos = _ij_to_hilbert(face, i, j, level)
     shift = np.uint64(2 * (MAX_LEVEL - level))
     cell = (
         (face.astype(np.uint64) << np.uint64(61))
@@ -185,7 +197,7 @@ def s2_cell_center(cell: np.ndarray, level: int) -> tuple[np.ndarray, np.ndarray
     face = (c >> np.uint64(61)).astype(np.int64)
     shift = np.uint64(2 * (MAX_LEVEL - level) + 1)
     pos = (c >> shift).astype(np.uint64)
-    i, j = _hilbert_to_ij(pos, level)
+    i, j = _hilbert_to_ij(face, pos, level)
     n = float(1 << level)
     s = (i.astype(np.float64) + 0.5) / n
     t = (j.astype(np.float64) + 0.5) / n

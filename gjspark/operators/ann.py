@@ -133,7 +133,7 @@ def ivf_topk(
     queries: DataFrame,
     index: DataFrame | None = None,
     k: int = 10,
-    n_list: int = 16,
+    n_list: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -141,9 +141,17 @@ def ivf_topk(
     """IVF ANN: index vectors partitioned by nearest centroid; each query
     probes its ``n_probe`` closest lists. One equi-join shuffle on the
     list id; candidate scoring stays vectorized. Approximate — recall vs
-    brute force is asserted in tests."""
+    brute force is asserted in tests.
+
+    ``n_list=None`` auto-scales to ~sqrt(n) (clamped to [4, 4096]) from a
+    cheap count, so the default stays balanced from 10^3 to 10^12 index
+    rows instead of pinning 16 lists; pass an explicit value to pin the
+    partitioning (the contract golden uses ``n_list=16``).
+    """
     index = index if index is not None else queries
     spark = queries.sparkSession
+    if n_list is None:
+        n_list = int(np.clip(int(np.sqrt(index.count())), 4, 4096))
     cent = train_centroids(index, n_list=n_list, vec_col=vec_col)
     bc = spark.sparkContext.broadcast(cent)
 

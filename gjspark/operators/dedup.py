@@ -229,18 +229,55 @@ def simhash_udf():
 
     @pandas_udf(T.LongType())
     def _sh(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            tokens = [tok for tok in _TOKEN_RE.split((t or "").lower()) if tok]
-            if not tokens:
-                out[i] = 0
-                continue
-            hs = np.array([_token_hash64(tok) for tok in tokens], dtype=np.uint64)
-            # one occurrence = one +/-1 vote per bit, vectorized over tokens
-            bits = (hs[:, None] >> _bitpos[None, :]) & np.uint64(1)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        import hashlib
+
+        # batch-level vocabulary: each distinct token is md5-hashed ONCE
+        # per Arrow batch (corpus vocabularies are far smaller than token
+        # streams), and the digests land in one contiguous buffer — same
+        # md5-lower-64 semantics, so the DuckDB SQL twin stays bit-exact
+        tok_lists = [
+            [tok for tok in _TOKEN_RE.split((t or "").lower()) if tok]
+            for t in text
+        ]
+        vocab: dict[str, int] = {}
+        for toks in tok_lists:
+            for tok in toks:
+                if tok not in vocab:
+                    vocab[tok] = len(vocab)
+        out = np.zeros(len(text), dtype=np.int64)
+        if not vocab:
+            return pd.Series(out)
+        digests = b"".join(
+            hashlib.md5(tok.encode()).digest()[8:16] for tok in vocab
+        )
+        hs_vocab = np.frombuffer(digests, dtype="<u8")
+        lens = np.array([len(d) for d in tok_lists], dtype=np.int64)
+        ids = np.fromiter(
+            (vocab[t] for doc in tok_lists for t in doc),
+            dtype=np.int64,
+            count=int(lens.sum()),
+        )
+        starts = np.r_[0, np.cumsum(lens)]
+        ne = np.nonzero(lens > 0)[0]
+        # chunk the (tokens x 64) bit matrix to ~16 MB per slab
+        chunk = 250_000
+        d0 = 0
+        while d0 < len(ne):
+            d1 = d0 + 1
+            while d1 < len(ne) and starts[ne[d1] + 1] - starts[ne[d0]] < chunk:
+                d1 += 1
+            sel = ne[d0:d1]
+            lo, hi = starts[sel[0]], starts[sel[-1] + 1]
+            bits = (
+                (hs_vocab[ids[lo:hi]][:, None] >> _bitpos[None, :]) & np.uint64(1)
+            ).astype(np.int8)
+            ones = np.add.reduceat(bits, (starts[sel] - lo).astype(np.int64), axis=0)
+            votes = 2 * ones.astype(np.int64) - lens[sel, None]
             setbits = (votes > 0).astype(np.uint64)
-            out[i] = int((setbits << _bitpos).sum(dtype=np.uint64).view(np.int64))
+            out[sel] = (setbits << _bitpos[None, :]).sum(axis=1, dtype=np.uint64).view(
+                np.int64
+            )
+            d0 = d1
         return pd.Series(out)
 
     return _sh

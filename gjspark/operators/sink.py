@@ -66,3 +66,73 @@ def delete_by_ids(
     """S7 parallel delete as a distributed anti-join rewrite of the table
     (Iceberg: MERGE/DELETE produces the same plan)."""
     return table.join(F.broadcast(ids.select(id_col).distinct()), id_col, "left_anti")
+
+
+def iceberg_runtime_available(spark) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_observations(
+    df: DataFrame,
+    target: str,
+    fmt: str | None = None,
+    mode: str = "append",
+    merge_on: str | None = None,
+    job_id: str = "obs-sink",
+    id_col: str = "obs_id",
+) -> str:
+    """S5 observation sink (``utils/StaService.java:118-128`` analogue).
+
+    ``target`` is either an Iceberg table identifier
+    (``catalog.db.table``) or a filesystem path. Branches:
+
+    - ``iceberg`` + ``merge_on``: ``MERGE INTO`` keyed on that column —
+      the reference's update-existing-observation path;
+    - ``iceberg`` append/replace: ``writeTo(target).append()`` /
+      ``createOrReplace()`` (DataFrameWriterV2, so Iceberg commits are
+      atomic snapshot swaps);
+    - ``parquet``: the checkpointed atomic writer
+      (``plans/checkpoint.checkpointed_write`` — per-partition lineage +
+      write-then-manifest commit), the sandbox twin of the same
+      semantics.
+
+    ``fmt=None`` auto-detects: Iceberg when the runtime is on the
+    classpath and ``target`` has no path separator, else parquet.
+    Returns the branch taken (for metrics/logging).
+    """
+    spark = df.sparkSession
+    if fmt is None:
+        fmt = (
+            "iceberg"
+            if "/" not in target and iceberg_runtime_available(spark)
+            else "parquet"
+        )
+    if fmt == "iceberg":
+        if merge_on is not None:
+            df.createOrReplaceTempView("__obs_incoming")
+            cols = df.columns
+            sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+            names = ", ".join(cols)
+            vals = ", ".join(f"s.{c}" for c in cols)
+            spark.sql(
+                f"MERGE INTO {target} t USING __obs_incoming s "
+                f"ON t.{merge_on} = s.{merge_on} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
+            )
+        elif mode == "append":
+            df.writeTo(target).append()
+        else:
+            df.writeTo(target).createOrReplace()
+        return "iceberg"
+    from gjspark.plans.checkpoint import checkpointed_write
+
+    checkpointed_write(df, target, job_id=job_id, id_col=id_col)
+    return "parquet"

@@ -51,13 +51,20 @@ def read_csv_points(
     flip: bool = False,
     number_scale: int = 6,
 ) -> DataFrame:
-    df = (
+    reader = (
         spark.read.option("sep", sep)
         .option("header", str(header).lower())
         .option("comment", comment)
         .option("encoding", charset)
-        .csv(path)
     )
+    if row_skip:
+        # positional semantics need within-file row order. multiLine CSVs
+        # are unsplittable, so each file is GUARANTEED to be one split —
+        # the ordering holds by construction even for files larger than
+        # spark.sql.files.maxPartitionBytes (files stay the parallelism
+        # unit, which the per-file skip window needs anyway).
+        reader = reader.option("multiLine", "true")
+    df = reader.csv(path)
     if not header:
         df = df.toDF(*[str(i) for i in range(len(df.columns))])
     prop_cols = list(df.columns)
@@ -65,7 +72,7 @@ def read_csv_points(
     # first N data rows of each input file. Window partitioned by file —
     # one task per file (parallel across files), never a global total
     # sort. Within a file, monotonically_increasing_id follows split
-    # order, which FileScan assigns in file-offset order.
+    # order (single split per file when row_skip is active, see above).
     if row_skip:
         from pyspark.sql import Window
 

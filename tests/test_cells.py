@@ -31,6 +31,51 @@ class TestS2:
         c = s2.s2_cell(np.array([50.0, 50.0000001, 51.0]), np.array([8.0, 8.0000001, 9.0]), 12)
         assert c[0] == c[1] and c[0] != c[2]
 
+    def test_face_cell_ids_match_spec(self):
+        # spec-derivable vectors: the level-0 ancestor of a point at each
+        # cube-face center is the published face cell id
+        # (face << 61) | (1 << 60); face layout 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z
+        pts = [
+            (0.0, 0.0, 0x1000000000000000),     # face 0 (+x)
+            (0.0, 90.0, 0x3000000000000000),    # face 1 (+y)
+            (90.0, 0.0, 0x5000000000000000),    # face 2 (+z / north pole)
+            (0.0, 180.0, 0x7000000000000000),   # face 3 (-x)
+            (0.0, -90.0, 0x9000000000000000),   # face 4 (-y)
+            (-90.0, 0.0, 0xB000000000000000),   # face 5 (-z / south pole)
+        ]
+        for lat, lng, expected in pts:
+            c = s2.s2_cell(np.array([lat]), np.array([lng]), 16)
+            parent0 = np.uint64(s2.s2_parent(c, 1)[0]) & ~np.uint64(
+                (1 << 61) - 1
+            ) | np.uint64(1 << 60)
+            assert int(parent0) == expected
+
+    def test_curve_is_continuous(self):
+        # consecutive curve positions must be edge-adjacent cells (the
+        # defining property of the canonical S2 space-filling curve)
+        level = 6
+        for face in range(6):
+            n = 1 << (2 * level)
+            pos = np.arange(n, dtype=np.uint64)
+            i, j = s2._hilbert_to_ij(np.full(n, face), pos, level)
+            di = np.abs(np.diff(i.astype(np.int64)))
+            dj = np.abs(np.diff(j.astype(np.int64)))
+            assert ((di + dj) == 1).all()
+            # and the inverse reproduces the positions
+            back = s2._ij_to_hilbert(np.full(n, face), i, j, level)
+            assert (back == pos).all()
+
+    def test_curve_matches_published_level1_order(self):
+        # kPosToIJ row 0 (canonical orientation, even faces): children in
+        # curve order sit at (i,j) = (0,0), (0,1), (1,1), (1,0)
+        i, j = s2._hilbert_to_ij(np.zeros(4, dtype=np.int64),
+                                 np.arange(4, dtype=np.uint64), 1)
+        assert list(zip(i.tolist(), j.tolist())) == [(0, 0), (0, 1), (1, 1), (1, 0)]
+        # odd faces start axis-swapped (row 1): (0,0), (1,0), (1,1), (0,1)
+        i, j = s2._hilbert_to_ij(np.ones(4, dtype=np.int64),
+                                 np.arange(4, dtype=np.uint64), 1)
+        assert list(zip(i.tolist(), j.tolist())) == [(0, 0), (1, 0), (1, 1), (0, 1)]
+
 
 class TestH3X:
     def test_center_roundtrip(self):

@@ -203,3 +203,29 @@ def test_csv_row_skip_is_per_file(spark, tmp_path):
     )
     ids = sorted(r["feature_id"] for r in out.collect())
     assert ids == ["A3", "B3"], ids
+
+
+def test_csv_row_skip_survives_multi_split_files(spark, tmp_path):
+    """Files larger than maxPartitionBytes would normally be read as
+    several splits, breaking monotonically_increasing_id's within-file
+    ordering. With row_skip active the reader switches to multiLine mode
+    (unsplittable), so the per-file skip stays exact by construction."""
+    from gjspark.sources.csv_points import read_csv_points
+
+    n = 2000
+    (tmp_path / "big.csv").write_text(
+        "name;easting;northing;crs\n"
+        + "".join(f"R{i:05d};691000.0;5331000.0;25832\n" for i in range(n))
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        out = read_csv_points(
+            spark, str(tmp_path), x_col="easting", y_col="northing",
+            crs_col="crs", row_skip=5,
+        ).select("feature_id")
+        ids = sorted(r["feature_id"] for r in out.collect())
+        assert len(ids) == n - 5
+        assert ids[0] == "R00005"  # exactly the first five rows dropped
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
