@@ -601,15 +601,58 @@ def _rotate_pent60cw(digits: np.ndarray, rows: np.ndarray) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _geo_to_face_polar(lat: np.ndarray, lng: np.ndarray):
+    """Shared per-point spherical stage: nearest face + gnomonic polar
+    coordinates (res-independent). ``rg`` is tan(angular distance) /
+    RES0_U_GNOMONIC; ``theta0`` the Class II angle."""
+    p = _geo_to_xyz(lat, lng)
+    dots = p @ _FACE_XYZ.T
+    face = np.argmax(dots, axis=-1)
+    best = dots[np.arange(len(face)), face]
+    sqd = np.maximum(2.0 - 2.0 * best, 0.0)
+    r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))
+    theta0 = _pos_angle(
+        _FACE_AXES_AZ[face, 0]
+        - _pos_angle(
+            _geo_azimuth(
+                _FACE_CENTER_GEO[face, 0], _FACE_CENTER_GEO[face, 1], lat, lng
+            )
+        )
+    )
+    rg = np.tan(r) / _RES0_U_GNOMONIC
+    return face, rg, theta0
+
+
+def _encode_at_res(face, rg, theta0, res: int) -> np.ndarray:
+    """Finish the encode for one resolution from the shared polar stage."""
+    theta = _pos_angle(theta0 - _AP7_ROT) if res % 2 == 1 else theta0
+    rr = rg * (_M_SQRT7**res)
+    i, j, k = _hex2d_to_ijk(rr * np.cos(theta), rr * np.sin(theta))
+    return _assemble_index(face, i, j, k, res)
+
+
 def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
     """lat/lng degrees -> canonical H3 cell ids (int64), vectorized."""
     if not (0 <= res <= MAX_RES):
         raise ValueError("res out of range")
     lat = np.radians(np.atleast_1d(np.asarray(lat_deg, dtype=np.float64)))
     lng = np.radians(np.atleast_1d(np.asarray(lng_deg, dtype=np.float64)))
-    n = len(lat)
-    face, i, j, k = _geo_to_face_ijk(lat, lng, res)
+    face, rg, theta0 = _geo_to_face_polar(lat, lng)
+    return _encode_at_res(face, rg, theta0, res)
 
+
+def latlng_to_cells_multi(lat_deg, lng_deg, resolutions) -> dict:
+    """Several resolutions for the same points with ONE spherical stage
+    (face assignment + azimuth + gnomonic radius are res-independent) —
+    the ingest-time kernel shape for multi-res cell columns at scale."""
+    lat = np.radians(np.atleast_1d(np.asarray(lat_deg, dtype=np.float64)))
+    lng = np.radians(np.atleast_1d(np.asarray(lng_deg, dtype=np.float64)))
+    face, rg, theta0 = _geo_to_face_polar(lat, lng)
+    return {r: _encode_at_res(face, rg, theta0, r) for r in resolutions}
+
+
+def _assemble_index(face, i, j, k, res: int) -> np.ndarray:
+    n = len(face)
     digits = np.full((n, res), 7, dtype=np.int8)
     for r in range(res, 0, -1):
         li, lj, lk = i, j, k
@@ -1145,4 +1188,4 @@ def face_boundary_margin_m(lat_deg, lng_deg) -> np.ndarray:
 
 
 def cols_for_point(lat_deg, lng_deg, resolutions=(7, 8, 9, 10, 11, 12)):
-    return {r: latlng_to_cell(lat_deg, lng_deg, r) for r in resolutions}
+    return latlng_to_cells_multi(lat_deg, lng_deg, resolutions)

@@ -33,7 +33,10 @@ _CELL_STRUCT = T.StructType(
 def _cell_struct(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
     la = lat.to_numpy(dtype=float)
     lo = lon.to_numpy(dtype=float)
-    out = {f"h3_r{r}": h3x.h3_index(la, lo, r) for r in H3_RESOLUTIONS}
+    # one shared spherical stage for all six H3 resolutions (the
+    # face/azimuth/gnomonic-radius math is res-independent)
+    cells = h3x.latlng_to_cells_multi(la, lo, H3_RESOLUTIONS)
+    out = {f"h3_r{r}": cells[r] for r in H3_RESOLUTIONS}
     out["s2_cell"] = s2.s2_cell(la, lo, S2_LEVEL)
     return pd.DataFrame(out)
 
