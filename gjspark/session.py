@@ -27,6 +27,23 @@ for _v in _BLAS_VARS:
     os.environ.setdefault(_v, "1")
 
 
+def _sweep_stale_scratch(scratch: str, max_age_s: float = 6 * 3600) -> None:
+    """RAM-backed scratch dirs leak when a JVM is killed; reap old ones."""
+    import shutil
+    import time
+
+    try:
+        for name in os.listdir(scratch):
+            p = os.path.join(scratch, name)
+            try:
+                if time.time() - os.path.getmtime(p) > max_age_s:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
+
 def get_spark(
     app_name: str = "gjspark",
     master: str | None = None,
@@ -57,6 +74,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill scratch: the sandbox's virtual disk writes at tens of
+    # MB/s, which makes any shuffle look like a scaling wall (a pure
+    # local-mode artifact — on a cluster each node spills to its own
+    # NVMe). Use the RAM-backed dir when present, exactly like deploying
+    # with node-local tmpfs/NVMe scratch; override with SPARK_LOCAL_DIRS.
+    scratch = os.environ.get("GJSPARK_LOCAL_DIR", "/dev/shm/gjspark-scratch")
+    if "SPARK_LOCAL_DIRS" not in os.environ:
+        try:
+            os.makedirs(scratch, exist_ok=True)
+            _sweep_stale_scratch(scratch)
+            b = b.config("spark.local.dir", scratch)
+        except OSError:
+            pass
     for v in _BLAS_VARS:
         b = b.config(f"spark.executorEnv.{v}", "1")
     for k, v in (extra_conf or {}).items():
