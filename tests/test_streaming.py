@@ -124,3 +124,54 @@ def test_stream_validator_newer_stateful(spark, tmp_path):
     got = {r["obs_id"] for r in spark.read.parquet(out).collect()}
     assert "a3" not in got          # older than cross-batch state
     assert {"a1", "a2", "a4", "b1"} <= got
+
+
+def test_streaming_ingest_resumes_from_checkpoint(spark, tmp_path):
+    """ingest_images drains the landing dir with availableNow, writes
+    parquet partitioned by the coarse h3_r5 cell, and a SECOND run after
+    more files land resumes from the checkpoint without duplicating
+    anything (exactly-once file-source progress)."""
+    import numpy as np
+
+    from gjspark.streaming.ingest import ingest_images
+
+    src = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def land(tag, n, seed):
+        rng = np.random.default_rng(seed)
+        rows = [
+            (
+                f"{tag}-{i}",
+                b"\x00",
+                4, 4, "ppm", f"cap {i}", 0,
+                float(rng.uniform(47.5, 54.5)),
+                float(rng.uniform(6.0, 14.0)),
+            )
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            rows,
+            "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long, lat double, lon double",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    land("a", 40, 1)
+    q = ingest_images(spark, str(src), str(out), str(ckpt))
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(str(out))
+    assert got1.count() == 40
+    assert "h3_r5" in got1.columns  # partition column round-trips
+    assert got1.select("h3_r9").distinct().count() > 1
+
+    land("b", 25, 2)
+    q2 = ingest_images(spark, str(src), str(out), str(ckpt))
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(str(out))
+    assert got2.count() == 65  # no re-ingest of batch 'a'
+    assert got2.select("image_id").distinct().count() == 65
+    # coarse partition dirs exist on disk (directory-level pruning)
+    parts = [p.name for p in out.iterdir() if p.name.startswith("h3_r5=")]
+    assert parts
