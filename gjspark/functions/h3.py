@@ -587,15 +587,6 @@ def _rotate_pent60ccw(digits: np.ndarray, rows: np.ndarray) -> None:
         _digits_rotate(digits, _ROT_CCW, again)
 
 
-def _rotate_pent60cw(digits: np.ndarray, rows: np.ndarray) -> None:
-    """h3lib _h3RotatePent60cw counterpart (used in decode probes)."""
-    _digits_rotate(digits, _ROT_CW, rows)
-    lead = _leading_nonzero(digits[rows])
-    again = rows[lead == 1]
-    if len(again):
-        _digits_rotate(digits, _ROT_CW, again)
-
-
 # ---------------------------------------------------------------------------
 # encode
 # ---------------------------------------------------------------------------
