@@ -142,18 +142,13 @@ def run_bench(
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, 1e18), dt)
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
-
     spatial_sec = sum(timings.values())
 
     if not spatial_only:
         import __spark_entry__ as E
 
         qs = E.queries()
-        for name in (
+        qnames = (
             "q_pricing_summary",
             "q_revenue_by_nation",
             "q_latest_event_per_user",
@@ -163,8 +158,15 @@ def run_bench(
             "q_text_stats",
             "q_ann_topk",
             "q_minhash_pairs",
-        ):
-            timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+        )
+        # min-of-reps for the relational/text queries too — shared-host
+        # noise swings single measurements 2-10x
+        for _ in range(max(1, min(reps, 2))):
+            for name in qnames:
+                t0 = time.time()
+                qs[name](spark, SF_DIR).count()
+                dt = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, 1e18), dt)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -297,7 +299,7 @@ if __name__ == "__main__":
     # min-of-2 by default: single-rep first executions on this shared-host
     # VM swing 2-10x (cold page cache + co-tenant noise); the second rep
     # measures steady state and min-of-reps is what BASELINE.md reports
-    p.add_argument("--reps", type=int, default=2)
+    p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
     if args.scaling:
         run_scaling()
