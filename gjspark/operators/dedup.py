@@ -90,13 +90,35 @@ def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _sig(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            sh = _shingle_hashes(t or "", shingle_k)
-            # (a * x + b) mod p, min over shingles, vectorized (perm x shingle)
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64))
-        return pd.Series(out)
+        # shingle per doc (regex + UTF-8 are inherently per-string), then
+        # run the (perm x shingle) min-hash arithmetic over ALL docs'
+        # shingles at once, segmented back per doc with minimum.reduceat —
+        # one numpy dispatch per ~4M-element slab instead of 64 array ops
+        # per document. Identical uint64 arithmetic, bit-exact SQL twin.
+        shs = [_shingle_hashes(t or "", shingle_k) for t in text]
+        n = len(shs)
+        if n == 0:
+            return pd.Series([])
+        lens = np.array([len(s) for s in shs], dtype=np.int64)
+        starts = np.r_[0, np.cumsum(lens)]
+        allsh = np.concatenate(shs) if starts[-1] else np.zeros(0, np.uint64)
+        out = np.empty((n, n_hashes), dtype=np.uint64)
+        chunk_tokens = max(1, 4_000_000 // n_hashes)
+        d0 = 0
+        with np.errstate(over="ignore"):
+            while d0 < n:
+                d1 = d0 + 1
+                while d1 < n and starts[d1 + 1] - starts[d0] < chunk_tokens:
+                    d1 += 1
+                lo, hi = starts[d0], starts[d1]
+                vals = (
+                    a[:, None] * allsh[None, lo:hi] + b[:, None]
+                ) % np.uint64(_MERSENNE)  # (perm, tokens)
+                out[d0:d1] = np.minimum.reduceat(
+                    vals, (starts[d0:d1] - lo).astype(np.int64), axis=1
+                ).T
+                d0 = d1
+        return pd.Series(list(out.astype(np.int64)))
 
     return _sig
 
