@@ -143,6 +143,9 @@ _BASE_CELL_DATA = np.array(
 
 MAX_RES = 15
 _M_SQRT7 = np.sqrt(7.0)
+# fractional parts of integer/7 are >= 1/14 away from one half, so the
+# reciprocal-multiply rounding below can never be flipped by a ulp
+_SEVENTH = 1.0 / 7.0
 _AP7_ROT = np.arcsin(np.sqrt(3.0 / 28.0))  # Class III grid rotation
 _RES0_U_GNOMONIC = (3.0 - np.sqrt(5.0)) / 2.0  # 0.381966011250105...
 _SIN60 = np.sqrt(3.0) / 2.0
@@ -642,22 +645,63 @@ def latlng_to_cells_multi(lat_deg, lng_deg, resolutions) -> dict:
     return {r: _encode_at_res(face, rg, theta0, r) for r in resolutions}
 
 
+# axial diff (da+2, db+2) -> digit: the 7 unit vectors in axial form are
+# CENTER (0,0), K (-1,-1), J (0,1), JK (-1,0), I (1,0), IK (0,-1), IJ (1,1);
+# the sentinel border (-1) turns any non-unit diff into a loud failure
+_AXIAL_DIGIT = np.full((5, 5), -1, dtype=np.int8)
+for _d, (_da, _db) in enumerate(
+    [(0, 0), (-1, -1), (0, 1), (-1, 0), (1, 0), (0, -1), (1, 1)]
+):
+    _AXIAL_DIGIT[_da + 2, _db + 2] = _d
+
+
 def _assemble_index(face, i, j, k, res: int) -> np.ndarray:
+    """(face, normalized ijk at res) -> canonical ids.
+
+    The digit descent runs in AXIAL coordinates (a = i - k, b = j - k):
+    axial form is redundancy-free, so the per-level normalizations drop
+    out, and the aperture-7 up/down maps plus the half-never-occurs
+    rounding become pure int64 arithmetic:
+
+        up_ap7  (ccw): a' = round((3a - b)/7),  b' = round((a + 2b)/7)
+        up_ap7r (cw):  a' = round((2a + b)/7),  b' = round((3b - a)/7)
+        down_ap7:      a' = 2a + b,             b' = 3b - a
+        down_ap7r:     a' = 3a - b,             b' = a + 2b
+
+    (round(x/7) == (2x + 7) // 14 exactly, since 7 never divides 2x+7
+    at a half.) Same digits as the cube-coordinate formulation —
+    equivalence is pinned by the public-vector and roundtrip tests.
+    """
     n = len(face)
     digits = np.full((n, res), 7, dtype=np.int8)
+    a = i - k
+    b = j - k
     for r in range(res, 0, -1):
-        li, lj, lk = i, j, k
+        la, lb = a, b
+        # round(x/7) via reciprocal multiply + rint: integer floor-div is
+        # an order of magnitude slower in numpy, and x/7 never lands on
+        # an exact half (7 never divides 2x+7), so rint == round here
         if r % 2 == 1:  # Class III -> ccw aperture
-            i, j, k = _up_ap7(i, j, k)
-            ci, cj, ck = _down_ap7(i, j, k)
+            a = np.rint((3 * la - lb) * _SEVENTH).astype(np.int64)
+            b = np.rint((la + 2 * lb) * _SEVENTH).astype(np.int64)
+            ca = 2 * a + b
+            cb = 3 * b - a
         else:
-            i, j, k = _up_ap7r(i, j, k)
-            ci, cj, ck = _down_ap7r(i, j, k)
-        di, dj, dk = _ijk_normalize(li - ci, lj - cj, lk - ck)
-        digits[:, r - 1] = (di * 4 + dj * 2 + dk).astype(np.int8)
+            a = np.rint((2 * la + lb) * _SEVENTH).astype(np.int64)
+            b = np.rint((3 * lb - la) * _SEVENTH).astype(np.int64)
+            ca = 3 * a - b
+            cb = a + 2 * b
+        digits[:, r - 1] = _AXIAL_DIGIT[la - ca + 2, lb - cb + 2]
 
+    # res-0: back to normalized cube for the base-cell lookup
+    m = np.minimum(np.minimum(a, b), 0)
+    i = a - m
+    j = b - m
+    k = -m
     if (i > 2).any() or (j > 2).any() or (k > 2).any():
         raise AssertionError("res-0 coordinates out of base-cell range")
+    if (digits < 0).any():
+        raise AssertionError("non-unit digit diff in descent")
     bc = _BC_LUT[face, i, j, k].astype(np.int64)
     rot = _ROT_LUT[face, i, j, k].astype(np.int64)
     if (bc < 0).any() or (rot < 0).any():
