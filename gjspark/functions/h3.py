@@ -625,24 +625,72 @@ def _encode_at_res(face, rg, theta0, res: int) -> np.ndarray:
     return _assemble_index(face, i, j, k, res)
 
 
-def latlng_to_cell(lat_deg, lng_deg, res: int) -> np.ndarray:
-    """lat/lng degrees -> canonical H3 cell ids (int64), vectorized."""
+#: Sentinel id emitted for rows with non-finite coordinates when
+#: ``invalid="null"`` — matches libh3's H3_NULL (0), which no valid cell
+#: can equal (mode bits are always nonzero in a real index).
+H3_NULL = np.int64(0)
+
+
+def _mask_invalid(lat: np.ndarray, lng: np.ndarray, invalid: str):
+    """Guard the encode against non-finite coordinates.
+
+    A single NaN/inf row would otherwise flow through ``_hex2d_to_ijk``'s
+    float->int64 cast into the ``_AXIAL_DIGIT`` lookup and abort the whole
+    Arrow batch with an opaque IndexError — and in a checkpointed stream
+    the offending file becomes a poison pill (restart re-reads it and
+    fails again). ``invalid="raise"`` names the bad rows; ``"null"``
+    zeroes them for the math and reports the mask so callers can stamp
+    :data:`H3_NULL` into the result.
+    """
+    bad = ~(np.isfinite(lat) & np.isfinite(lng))
+    if not bad.any():
+        return None
+    if invalid == "raise":
+        rows = np.nonzero(bad)[0]
+        raise ValueError(
+            f"non-finite lat/lng at rows {rows[:10].tolist()}"
+            f"{'...' if len(rows) > 10 else ''} "
+            "(pass invalid='null' to emit the H3_NULL sentinel instead)"
+        )
+    if invalid != "null":
+        raise ValueError(f"invalid= must be 'raise' or 'null', got {invalid!r}")
+    lat[bad] = 0.0
+    lng[bad] = 0.0
+    return bad
+
+
+def latlng_to_cell(lat_deg, lng_deg, res: int, invalid: str = "raise") -> np.ndarray:
+    """lat/lng degrees -> canonical H3 cell ids (int64), vectorized.
+
+    ``invalid`` controls non-finite coordinate handling: ``"raise"``
+    (default) raises a ValueError naming the rows; ``"null"`` emits
+    :data:`H3_NULL` for those rows.
+    """
     if not (0 <= res <= MAX_RES):
         raise ValueError("res out of range")
     lat = np.radians(np.atleast_1d(np.asarray(lat_deg, dtype=np.float64)))
     lng = np.radians(np.atleast_1d(np.asarray(lng_deg, dtype=np.float64)))
+    bad = _mask_invalid(lat, lng, invalid)
     face, rg, theta0 = _geo_to_face_polar(lat, lng)
-    return _encode_at_res(face, rg, theta0, res)
+    out = _encode_at_res(face, rg, theta0, res)
+    if bad is not None:
+        out[bad] = H3_NULL
+    return out
 
 
-def latlng_to_cells_multi(lat_deg, lng_deg, resolutions) -> dict:
+def latlng_to_cells_multi(lat_deg, lng_deg, resolutions, invalid: str = "raise") -> dict:
     """Several resolutions for the same points with ONE spherical stage
     (face assignment + azimuth + gnomonic radius are res-independent) —
     the ingest-time kernel shape for multi-res cell columns at scale."""
     lat = np.radians(np.atleast_1d(np.asarray(lat_deg, dtype=np.float64)))
     lng = np.radians(np.atleast_1d(np.asarray(lng_deg, dtype=np.float64)))
+    bad = _mask_invalid(lat, lng, invalid)
     face, rg, theta0 = _geo_to_face_polar(lat, lng)
-    return {r: _encode_at_res(face, rg, theta0, r) for r in resolutions}
+    out = {r: _encode_at_res(face, rg, theta0, r) for r in resolutions}
+    if bad is not None:
+        for arr in out.values():
+            arr[bad] = H3_NULL
+    return out
 
 
 # axial diff (da+2, db+2) -> digit: the 7 unit vectors in axial form are
@@ -1090,24 +1138,50 @@ _TABLE_CACHE = __file__.rsplit(".", 1)[0] + "_tables_v1.npz"
 
 def _load_or_calibrate():
     import os
+    import tempfile
 
+    # Snapshot of the import-time-derived rotation entries: wherever the
+    # derivation is unambiguous (>= 0) the cache MUST agree — a stale or
+    # corrupted cache with a matching bc_lut must not silently override
+    # derived values and produce wrong cell ids.
+    derived_rot = _ROT_LUT.copy()
+    derived_mask = derived_rot >= 0
     if os.path.exists(_TABLE_CACHE):
         try:
             z = np.load(_TABLE_CACHE)
+            rot, kcw = z["rot_lut"], z["k_cw"]
             if (
                 z["bc_lut"].shape == _BC_LUT.shape
                 and np.array_equal(z["bc_lut"], _BC_LUT)
-                and z["rot_lut"].shape == _ROT_LUT.shape
-                and z["k_cw"].shape == _K_CW.shape
+                and rot.shape == _ROT_LUT.shape
+                and np.array_equal(rot[derived_mask], derived_rot[derived_mask])
+                and ((rot >= -1) & (rot <= 5)).all()
+                and (rot[_BC_LUT >= 0] >= 0).all()
+                and kcw.shape == _K_CW.shape
+                and np.isin(kcw, (0, 1)).all()
             ):
-                _ROT_LUT[:] = z["rot_lut"]
-                _K_CW[:] = z["k_cw"]
+                _ROT_LUT[:] = rot
+                _K_CW[:] = kcw
                 return
         except Exception:
             pass
     _calibrate_ambiguous()
     try:
-        np.savez(_TABLE_CACHE, bc_lut=_BC_LUT, rot_lut=_ROT_LUT, k_cw=_K_CW)
+        # temp file + os.replace: concurrent first-time imports (many Spark
+        # python workers) must never observe a half-written npz
+        fd, tmp = tempfile.mkstemp(
+            suffix=".npz", dir=os.path.dirname(_TABLE_CACHE) or "."
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                np.savez(fh, bc_lut=_BC_LUT, rot_lut=_ROT_LUT, k_cw=_K_CW)
+            os.replace(tmp, _TABLE_CACHE)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     except OSError:
         pass  # read-only install: derive on every import
 

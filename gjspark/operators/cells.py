@@ -31,13 +31,21 @@ _CELL_STRUCT = T.StructType(
 
 @pandas_udf(_CELL_STRUCT)
 def _cell_struct(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+    import numpy as np
+
     la = lat.to_numpy(dtype=float)
     lo = lon.to_numpy(dtype=float)
+    # Non-finite coordinates (null lat/lon arrives as NaN) get the H3_NULL
+    # sentinel instead of aborting the Arrow batch — one bad row must not
+    # poison a whole file in the checkpointed streaming ingest.
+    bad = ~(np.isfinite(la) & np.isfinite(lo))
     # one shared spherical stage for all six H3 resolutions (the
     # face/azimuth/gnomonic-radius math is res-independent)
-    cells = h3x.latlng_to_cells_multi(la, lo, H3_RESOLUTIONS)
+    cells = h3x.latlng_to_cells_multi(la, lo, H3_RESOLUTIONS, invalid="null")
     out = {f"h3_r{r}": cells[r] for r in H3_RESOLUTIONS}
-    out["s2_cell"] = s2.s2_cell(la, lo, S2_LEVEL)
+    s2c = s2.s2_cell(np.where(bad, 0.0, la), np.where(bad, 0.0, lo), S2_LEVEL)
+    s2c[bad] = 0
+    out["s2_cell"] = s2c
     return pd.DataFrame(out)
 
 

@@ -116,17 +116,34 @@ def write_observations(
         )
     if fmt == "iceberg":
         if merge_on is not None:
-            df.createOrReplaceTempView("__obs_incoming")
-            cols = df.columns
-            sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
-            names = ", ".join(cols)
-            vals = ", ".join(f"s.{c}" for c in cols)
-            spark.sql(
-                f"MERGE INTO {target} t USING __obs_incoming s "
-                f"ON t.{merge_on} = s.{merge_on} "
-                f"WHEN MATCHED THEN UPDATE SET {sets} "
-                f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
-            )
+            import uuid
+
+            def q(ident: str) -> str:
+                """Backtick-quote one identifier part (column name)."""
+                return "`" + ident.replace("`", "``") + "`"
+
+            def qt(ident: str) -> str:
+                """Quote a possibly dotted table identifier part-wise."""
+                return ".".join(q(p) for p in ident.split("."))
+
+            # per-call unique view name: concurrent write_observations on
+            # the same session must not clobber each other's source view
+            view = f"__obs_incoming_{uuid.uuid4().hex}"
+            df.createOrReplaceTempView(view)
+            try:
+                cols = df.columns
+                key = q(merge_on)
+                sets = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in cols)
+                names = ", ".join(q(c) for c in cols)
+                vals = ", ".join(f"s.{q(c)}" for c in cols)
+                spark.sql(
+                    f"MERGE INTO {qt(target)} t USING {q(view)} s "
+                    f"ON t.{key} = s.{key} "
+                    f"WHEN MATCHED THEN UPDATE SET {sets} "
+                    f"WHEN NOT MATCHED THEN INSERT ({names}) VALUES ({vals})"
+                )
+            finally:
+                spark.catalog.dropTempView(view)
         elif mode == "append":
             df.writeTo(target).append()
         else:

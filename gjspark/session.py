@@ -27,21 +27,49 @@ for _v in _BLAS_VARS:
     os.environ.setdefault(_v, "1")
 
 
-def _sweep_stale_scratch(scratch: str, max_age_s: float = 6 * 3600) -> None:
-    """RAM-backed scratch dirs leak when a JVM is killed; reap old ones."""
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except (PermissionError, OSError):
+        return True  # exists but not ours — treat as alive
+    return True
+
+
+def _sweep_stale_scratch(scratch: str) -> None:
+    """RAM-backed scratch dirs leak when a JVM is killed; reap dead ones.
+
+    Only sibling ``sess-<pid>-*`` dirs whose owning PID is no longer alive
+    are removed. Age-based sweeping is unsafe: a directory's mtime does not
+    change when files change deeper inside it, so a long-running Spark
+    job's live shuffle dirs would look "stale" after a few hours and get
+    deleted out from under it.
+    """
     import shutil
-    import time
 
     try:
         for name in os.listdir(scratch):
-            p = os.path.join(scratch, name)
-            try:
-                if time.time() - os.path.getmtime(p) > max_age_s:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
+            if not name.startswith("sess-"):
                 continue
+            parts = name.split("-")
+            try:
+                pid = int(parts[1])
+            except (IndexError, ValueError):
+                continue
+            if not _pid_alive(pid):
+                shutil.rmtree(os.path.join(scratch, name), ignore_errors=True)
     except OSError:
         pass
+
+
+def _session_scratch_dir(root: str) -> str:
+    """Own scratch subdir per driver process, PID encoded for the sweeper."""
+    import tempfile
+
+    os.makedirs(root, exist_ok=True)
+    _sweep_stale_scratch(root)
+    return tempfile.mkdtemp(prefix=f"sess-{os.getpid()}-", dir=root)
 
 
 def get_spark(
@@ -82,9 +110,7 @@ def get_spark(
     scratch = os.environ.get("GJSPARK_LOCAL_DIR", "/dev/shm/gjspark-scratch")
     if "SPARK_LOCAL_DIRS" not in os.environ:
         try:
-            os.makedirs(scratch, exist_ok=True)
-            _sweep_stale_scratch(scratch)
-            b = b.config("spark.local.dir", scratch)
+            b = b.config("spark.local.dir", _session_scratch_dir(scratch))
         except OSError:
             pass
     for v in _BLAS_VARS:

@@ -190,3 +190,84 @@ class TestDerivation:
         i, j, k = h3._hex2d_to_ijk(x, y)
         cx, cy = h3._ijk_to_hex2d(i, j, k)
         assert np.hypot(cx - x, cy - y).max() <= 1 / np.sqrt(3) + 1e-9
+
+
+class TestInvalidInputs:
+    def test_nan_raises_by_default_naming_rows(self):
+        with pytest.raises(ValueError, match=r"rows \[1\]"):
+            h3.latlng_to_cell([37.0, float("nan")], [-122.0, -122.0], 9)
+
+    def test_null_mode_emits_sentinel_and_keeps_good_rows(self):
+        out = h3.latlng_to_cell(
+            [float("nan"), 37.7752702151959257],
+            [np.inf, -122.418307270836230],
+            9,
+            invalid="null",
+        )
+        assert out[0] == h3.H3_NULL == 0
+        assert hex(_u(out)[1]) == "0x8928308280fffff"
+
+    def test_null_mode_multi_res(self):
+        m = h3.latlng_to_cells_multi(
+            [np.inf, 10.0], [0.0, 20.0], (7, 9, 12), invalid="null"
+        )
+        good = h3.latlng_to_cells_multi([10.0], [20.0], (7, 9, 12))
+        for r in (7, 9, 12):
+            assert m[r][0] == 0
+            assert m[r][1] == good[r][0]
+
+    def test_null_mode_does_not_mutate_caller_array(self):
+        lat = np.array([np.nan, 10.0])
+        lng = np.array([0.0, 20.0])
+        h3.latlng_to_cell(lat, lng, 9, invalid="null")
+        assert np.isnan(lat[0])
+
+    def test_bad_invalid_mode_rejected(self):
+        with pytest.raises(ValueError, match="invalid="):
+            h3.latlng_to_cell([np.nan], [0.0], 9, invalid="zap")
+
+
+class TestTableCacheIntegrity:
+    def test_corrupted_cache_with_valid_bc_lut_is_rejected(self, tmp_path):
+        """A cache whose rot_lut disagrees with derived entries (or holds
+        out-of-range values) must be rejected, not silently trusted."""
+        import os
+        from unittest import mock
+
+        good_rot = h3._ROT_LUT.copy()
+        good_kcw = h3._K_CW.copy()
+        bad_rot = good_rot.copy()
+        mapped = np.argwhere(h3._BC_LUT >= 0)
+        f, i, j, k = mapped[0]
+        bad_rot[f, i, j, k] = (good_rot[f, i, j, k] + 1) % 6
+        cache = tmp_path / "tables.npz"
+        np.savez(cache, bc_lut=h3._BC_LUT, rot_lut=bad_rot, k_cw=good_kcw)
+        calls = {"n": 0}
+
+        def fake_calibrate():
+            calls["n"] += 1
+
+        with mock.patch.object(h3, "_TABLE_CACHE", str(cache)), mock.patch.object(
+            h3, "_calibrate_ambiguous", fake_calibrate
+        ):
+            h3._load_or_calibrate()
+        assert calls["n"] == 1  # rejected -> recalibrated
+        assert os.path.exists(cache)  # rewritten atomically
+        z = np.load(cache)
+        assert np.array_equal(z["rot_lut"], good_rot)
+        assert np.array_equal(h3._ROT_LUT, good_rot)
+        assert np.array_equal(h3._K_CW, good_kcw)
+
+    def test_valid_cache_is_loaded_without_recalibration(self, tmp_path):
+        from unittest import mock
+
+        cache = tmp_path / "tables.npz"
+        np.savez(cache, bc_lut=h3._BC_LUT, rot_lut=h3._ROT_LUT, k_cw=h3._K_CW)
+
+        def boom():
+            raise AssertionError("should not recalibrate on a valid cache")
+
+        with mock.patch.object(h3, "_TABLE_CACHE", str(cache)), mock.patch.object(
+            h3, "_calibrate_ambiguous", boom
+        ):
+            h3._load_or_calibrate()

@@ -270,7 +270,12 @@ class TestWriteObservations:
             type(spark).sql = orig_sql
         assert branch == "iceberg"
         q = recorded["sql"]
-        assert "MERGE INTO cat.db.obs" in q
-        assert "ON t.obs_id = s.obs_id" in q
-        assert "WHEN MATCHED THEN UPDATE SET t.obs_id = s.obs_id, t.v = s.v" in q
-        assert "WHEN NOT MATCHED THEN INSERT (obs_id, v) VALUES (s.obs_id, s.v)" in q
+        # identifiers are backtick-quoted and the source view is per-call
+        # unique (concurrent writers on one session must not collide)
+        assert "MERGE INTO `cat`.`db`.`obs` t USING `__obs_incoming_" in q
+        assert "ON t.`obs_id` = s.`obs_id`" in q
+        assert "WHEN MATCHED THEN UPDATE SET t.`obs_id` = s.`obs_id`, t.`v` = s.`v`" in q
+        assert (
+            "WHEN NOT MATCHED THEN INSERT (`obs_id`, `v`) "
+            "VALUES (s.`obs_id`, s.`v`)" in q
+        )

@@ -263,3 +263,19 @@ def test_large_image_tile_sums_exact(spark):
     exact = int(img.sum(dtype=np.int64))
     assert row["px"] == h * w
     assert abs(row["luma_wsum"] * 3.0 - exact) < 1e-6
+
+
+class TestCellsNullSafety:
+    def test_null_coordinates_get_sentinel_not_batch_abort(self, spark):
+        """One bad row must not poison the Arrow batch (streaming ingest
+        re-reads the same file forever on failure)."""
+        df = spark.createDataFrame(
+            [("a", 50.0, 8.0), ("b", None, 8.0), ("c", float("nan"), 8.0)],
+            "id string, lat double, lon double",
+        )
+        rows = {r["id"]: r for r in with_cell_columns(df).collect()}
+        assert rows["a"]["h3_r9"] != 0 and rows["a"]["s2_cell"] != 0
+        for bad in ("b", "c"):
+            assert rows[bad]["h3_r7"] == 0
+            assert rows[bad]["h3_r12"] == 0
+            assert rows[bad]["s2_cell"] == 0
