@@ -20,6 +20,7 @@ idempotent (guarded by a VERSION stamp).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import zlib
@@ -33,7 +34,7 @@ from gjspark.functions import geometry as G
 from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v12"
+VERSION = "v13"  # v13: exact fixed-point phash + exact block-mean thumbs
 SEED = 42
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -1025,10 +1026,19 @@ def ensure_fixtures(root: str = DEFAULT_DIR) -> str:
 
 
 def ensure_bench_images(n: int, root: str = DEFAULT_DIR) -> str:
-    """Larger image table for bench runs (cached by size)."""
-    path = os.path.join(root, f"images_bench_{n}.parquet")
+    """Larger image table for bench runs (cached by size AND fixture
+    version — a phash/codec change must not leave stale stored columns)."""
+    path = os.path.join(root, f"images_bench_{n}_{VERSION}.parquet")
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
+        # n=20000 must not glob-match n=200000: match the exact legacy name
+        # and exact versioned names only
+        stale = glob.glob(os.path.join(root, f"images_bench_{n}_v*.parquet"))
+        legacy = os.path.join(root, f"images_bench_{n}.parquet")
+        if os.path.exists(legacy):
+            stale.append(legacy)
+        for old in stale:
+            os.unlink(old)
         cols = make_images_table(n)
         _write_parquet(path, cols, _images_schema())
     return path

@@ -323,17 +323,112 @@ def _rm(n: int) -> np.ndarray:
     return _RESIZE_CACHE[n]
 
 
+# ---------------------------------------------------------------------------
+# Exact integer resampling kernels
+#
+# BLAS GEMM results depend on matrix SIZE (blocking changes the float
+# accumulation order), so any value computed by a batched matmul over a
+# whole Arrow batch would differ run-to-run with partitioning, batch
+# boundaries, or BLAS build — violating the engine's determinism gate
+# (same hash at local[8] and local[32]). The fix is arithmetic, not
+# call-shape discipline: keep every operand an INTEGER held in float64.
+# Products and partial sums stay below 2^53, every intermediate is exact,
+# and the result is the same for ANY accumulation order — so the kernels
+# below may batch thousands of images into two large GEMMs and remain
+# bit-reproducible across batch size, partitioning, BLAS library, and
+# hardware. The final division/rint is a single correctly-rounded float64
+# op per output element, also deterministic.
+# ---------------------------------------------------------------------------
+
+_RM_INT_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _rm_int(src: int, dst: int = 32) -> np.ndarray:
+    """Integer numerator of the block-mean matrix: K with rm == K/src.
+
+    Exact because the row edges r*src/dst are dyadic for dst=32 (power of
+    two), so the unnormalized coverage entries are exact multiples of
+    1/dst and K = m*dst is integral. Row sums of K equal src.
+    """
+    if dst & (dst - 1):
+        raise ValueError("dst must be a power of two for the exact kernel")
+    key = (src, dst)
+    if key not in _RM_INT_CACHE:
+        edges = (np.arange(dst + 1) * src) / dst
+        m = np.zeros((dst, src))
+        for r in range(dst):
+            lo, hi = edges[r], edges[r + 1]
+            for c in range(int(np.floor(lo)), int(np.ceil(hi))):
+                m[r, c] = min(hi, c + 1) - max(lo, c)
+        k = m * dst
+        if not np.array_equal(k, np.rint(k)):
+            raise AssertionError("resize numerators are not integral")
+        if np.abs(k.sum(axis=1) - src).max() != 0:
+            raise AssertionError("resize numerator rows must sum to src")
+        _RM_INT_CACHE[key] = np.rint(k)
+    return _RM_INT_CACHE[key]
+
+
+def _exact_sandwich(L: np.ndarray, G: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """L @ G @ R.T over the last two axes of ``G`` via two large GEMMs.
+
+    All three operands must be integer-valued float64 (checked by bound,
+    not per-element): the result is then EXACT — independent of batch
+    size, restructuring, and BLAS blocking.
+    """
+    h, w = G.shape[-2], G.shape[-1]
+    gmax = float(np.abs(G).max(initial=0.0))
+    bound = np.abs(L).max() * h * gmax * max(np.abs(R).max() * w, 1.0)
+    if bound >= 2.0**53:
+        raise AssertionError("exact sandwich bound exceeded (would lose exactness)")
+    X = np.ascontiguousarray(np.moveaxis(G, -2, 0), dtype=np.float64)
+    A = (L @ X.reshape(h, -1)).reshape((L.shape[0],) + G.shape[:-2] + (w,))
+    Y = np.ascontiguousarray(np.moveaxis(A, 0, -2))
+    B = Y.reshape(-1, w) @ R.T
+    return B.reshape(G.shape[:-2] + (L.shape[0], R.shape[0]))
+
+
+def resize_rgb_exact(stack: np.ndarray, dst: int = 32) -> np.ndarray:
+    """(n, h, w, 3) uint8 -> (n, 3, dst, dst) uint8 exact block-mean thumbs.
+
+    thumb = rint(Kh @ img @ Kw.T / (h*w)) — the mathematically exact
+    area-weighted mean, correctly rounded once. Every caller (fused decode,
+    both mosaic plans, the salted variant) shares this kernel, so thumb
+    bytes are identical across plans BY CONSTRUCTION, not by accident of
+    matching BLAS call shapes.
+    """
+    n, h, w, _c = stack.shape
+    cf = stack.transpose(0, 3, 1, 2)  # (n, 3, h, w) view; sandwich casts
+    t = _exact_sandwich(_rm_int(h, dst), cf, _rm_int(w, dst))
+    return np.clip(np.rint(t / float(h * w)), 0, 255).astype(np.uint8)
+
+
+# Fixed-point phash pipeline constants: integer luma (x1000) and the top
+# 8 rows of the 32-point DCT-II at 7-bit fixed point (|entry| <= 32). The
+# whole hash is then computed in exact integer arithmetic (see the exact-
+# kernel comment above) — bit-reproducible at any batch size, so it can
+# use large GEMMs without breaking the partitioning-determinism gate.
+_LUMA_I = np.array([299.0, 587.0, 114.0])
+_D32FX = np.rint(_D32[:8] * 128.0)
+
+
 def phash64_same_size(imgs: np.ndarray) -> np.ndarray:
     """Vectorized phash for a stack of same-size images (n, h, w, 3).
 
-    ``phash64`` delegates here, so single-image and batch values are
-    bit-identical.
+    grayscale (integer luma x1000) -> exact 32x32 block-mean resize,
+    quantized to 1/256 luma steps -> fixed-point 2D DCT -> top-left 8x8
+    (minus DC) median-thresholded. ``phash64`` delegates here, so
+    single-image and batch values are bit-identical; exact integer
+    arithmetic makes batch values independent of batch size too.
     """
-    gray = imgs.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    n, h, w = gray.shape
-    small = _rm(h) @ gray @ _rm(w).T  # BLAS-broadcasted over n
-    coeff = _D32 @ small @ _D32.T
-    block = coeff[:, :8, :8].reshape(n, 64)[:, 1:]
+    imgs = np.asarray(imgs)
+    n, h, w = imgs.shape[:3]
+    lum = imgs.astype(np.float64) @ _LUMA_I  # (n, h, w) exact ints <= 255000
+    s = _exact_sandwich(_rm_int(h), lum, _rm_int(w))  # exact ints
+    # mean luma per 32x32 cell = s / (1000*h*w); quantize to 1/256 steps
+    small_fx = np.rint(s * (256.0 / (1000.0 * h * w)))  # ints <= 65280
+    coeff = _exact_sandwich(_D32FX, small_fx, _D32FX)  # (n, 8, 8) exact
+    block = coeff.reshape(n, 64)[:, 1:]
     med = np.median(block, axis=1, keepdims=True)
     bits = block > med
     weights = (np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64))

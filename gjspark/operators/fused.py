@@ -40,7 +40,6 @@ from gjspark.operators.multimodal import _decode_one
 from gjspark.operators.tiling import (
     _merge_mosaic_partials,
     _MOSAIC_PARTIAL_SCHEMA,
-    MOSAIC_SIZE,
     TILE,
 )
 
@@ -79,10 +78,7 @@ def decoded_features(
     cell skew cannot touch the Python stage). Failed decodes emit a row
     with ``decode_ok = false`` and null thumb so callers can count them.
     """
-    from gjspark.functions.codecs import _resize_matrix
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rm_cache: dict[int, np.ndarray] = {}
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -108,18 +104,20 @@ def decoded_features(
                     continue
                 imgs[k] = img
                 crc[k] = zlib.crc32(img.tobytes()) & 0x7FFFFFFF
-                mean[k] = float((img.astype(np.float64) @ _LUMA).mean())
                 ok[k] = True
                 dims_ok[k] = img.shape[0] == h0 and img.shape[1] == w0
             good = [k for k in range(n) if imgs[k] is not None]
             if good:
                 ph_dec[np.array(good)] = C.phash64_batch([imgs[k] for k in good])
             # shape-batched tile stats (identical math to image_tile_stats)
-            # and mosaic thumbs (identical rounding to cell_mosaic).
-            # Chunked: a full 10k-row Arrow batch as float64 would be
-            # ~1 GB x3 transients per worker; cap the float64 working set
-            # at ~8M elements (64 MB) per chunk so 32 workers stay within
-            # a few GB total while BLAS still gets big matmuls.
+            # and exact mosaic thumbs (codecs.resize_rgb_exact — the one
+            # shared kernel every mosaic plan uses). All per-pixel math is
+            # exact integer arithmetic (reduceat tile sums, integer-GEMM
+            # thumbs), so results are bit-identical at any batch size /
+            # partitioning / image size — no float32-vs-float64 cliff.
+            # Chunked: cap the float64 working set at ~8M elements (64 MB)
+            # per chunk so 32 workers stay within a few GB total while
+            # BLAS still gets big matmuls.
             by_shape: dict[tuple, list[int]] = {}
             for k in good:
                 by_shape.setdefault(imgs[k].shape, []).append(k)
@@ -129,44 +127,35 @@ def decoded_features(
                 for i0 in range(0, len(idxs), step):
                     chunked.append(((h, w, _c), idxs[i0 : i0 + step]))
             for (h, w, _c), idxs in chunked:
-                # float32 pixel path halves memory traffic (the hot
-                # stages are bandwidth-bound at 32 threads), but integer
-                # tile sums are only EXACT in float32 while the worst
-                # cumsum h*w*765 < 2^24. Larger frames (>=~149x149, i.e.
-                # real production imagery) switch the integral image to
-                # float64 so the documented exact-tile-sum invariant
-                # holds at every size, not just the test fixtures.
-                fdt = np.float32 if h * w * 765 < 2**24 else np.float64
-                stack = np.stack([imgs[k] for k in idxs]).astype(np.float32)
-                chan_sum = stack.sum(axis=3, dtype=fdt)  # (n, h, w)
-                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=fdt)
-                integ[:, 1:, 1:] = chan_sum.cumsum(axis=1).cumsum(axis=2)
-                ys = np.unique(np.arange(0, h + TILE, TILE).clip(max=h))
-                xs = np.unique(np.arange(0, w + TILE, TILE).clip(max=w))
-                gy, gx = len(ys) - 1, len(xs) - 1
-                s = (
-                    integ[:, ys[1:], :][:, :, xs[1:]]
-                    - integ[:, ys[:-1], :][:, :, xs[1:]]
-                    - integ[:, ys[1:], :][:, :, xs[:-1]]
-                    + integ[:, ys[:-1], :][:, :, xs[:-1]]
+                ia = np.array(idxs)
+                stack = np.stack([imgs[k] for k in idxs])  # (n, h, w, 3) u8
+                # per-pixel float64 luma then per-image mean — the batched
+                # reduction is bit-identical to multimodal.decode_stats'
+                # per-image one (same pairwise tree; regression-tested)
+                mean[ia] = (stack.astype(np.float64) @ _LUMA).mean(axis=(1, 2))
+                # integer tile sums: double reduceat over the channel sum
+                # (exact at ANY image size; int32 is safe — a 16x16 tile
+                # sums to at most 16*16*765 < 2^31)
+                cs = stack.sum(axis=3, dtype=np.int32)  # (n, h, w)
+                ys = np.arange(0, h, TILE)
+                xs = np.arange(0, w, TILE)
+                s = np.add.reduceat(
+                    np.add.reduceat(cs, ys, axis=1), xs, axis=2
+                )  # (n, gy, gx) int32
+                gy, gx = len(ys), len(xs)
+                areas = 3.0 * np.outer(
+                    np.minimum(ys + TILE, h) - ys, np.minimum(xs + TILE, w) - xs
                 )
-                areas = np.outer(np.diff(ys), np.diff(xs))[None, :, :] * 3.0
-                means = s / areas
-                if h not in rm_cache:
-                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE).astype(np.float32)
-                if w not in rm_cache:
-                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE).astype(np.float32)
-                cf = stack.transpose(0, 3, 1, 2)  # (n, 3, h, w)
-                th = np.clip(
-                    np.round(rm_cache[h] @ cf @ rm_cache[w].T), 0, 255
-                ).astype(np.uint8)  # (n, 3, 32, 32)
+                means = s / areas[None, :, :]
+                n_tiles[ia] = gy * gx
+                luma_wsum[ia] = s.sum(axis=(1, 2), dtype=np.int64) / 3.0
+                px[ia] = h * w
+                min_tm[ia] = means.min(axis=(1, 2))
+                max_tm[ia] = means.max(axis=(1, 2))
+                th = C.resize_rgb_exact(stack)  # (n, 3, 32, 32) uint8
+                th_hwc = np.ascontiguousarray(th.transpose(0, 2, 3, 1))
                 for j, k in enumerate(idxs):
-                    n_tiles[k] = gy * gx
-                    luma_wsum[k] = float(s[j].sum()) / 3.0
-                    px[k] = int((areas / 3.0).sum())
-                    min_tm[k] = float(means[j].min())
-                    max_tm[k] = float(means[j].max())
-                    thumbs[k] = th[j].transpose(1, 2, 0).tobytes()
+                    thumbs[k] = th_hwc[j].tobytes()
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],

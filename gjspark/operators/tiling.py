@@ -144,28 +144,21 @@ def image_tile_stats(images: DataFrame, cell_col: str = "h3_r7") -> DataFrame:
             for k, im in enumerate(imgs):
                 by_shape.setdefault(im.shape, []).append(k)
             for (h, w, _c), idxs in by_shape.items():
-                # float32 pixel path (see fused.py note): exact integer
-                # tile sums while h*w*765 < 2^24, half the memory
-                # traffic; larger frames use a float64 integral image so
-                # exactness holds at production image sizes too
-                fdt = np.float32 if h * w * 765 < 2**24 else np.float64
-                stack = np.stack([imgs[k] for k in idxs]).astype(np.float32)
-                chan_sum = stack.sum(axis=3, dtype=fdt)  # (n, h, w)
-                integ = np.zeros((len(idxs), h + 1, w + 1), dtype=fdt)
-                integ[:, 1:, 1:] = chan_sum.cumsum(axis=1).cumsum(axis=2)
-                ys = np.arange(0, h + TILE, TILE).clip(max=h)
-                xs = np.arange(0, w + TILE, TILE).clip(max=w)
-                ys = np.unique(ys)
-                xs = np.unique(xs)
-                gy, gx = len(ys) - 1, len(xs) - 1
-                # tile sums via integral-image differences
-                s = (
-                    integ[:, ys[1:], :][:, :, xs[1:]]
-                    - integ[:, ys[:-1], :][:, :, xs[1:]]
-                    - integ[:, ys[1:], :][:, :, xs[:-1]]
-                    + integ[:, ys[:-1], :][:, :, xs[:-1]]
-                )  # (n, gy, gx)
-                areas = np.outer(np.diff(ys), np.diff(xs))[None, :, :] * 3.0
+                # integer tile sums via double reduceat over the channel
+                # sum — exact at ANY image size (a 16x16 tile sums to at
+                # most 16*16*765 < 2^31), bit-identical to fused.py's
+                # decoded_features and to the old integral-image path
+                stack = np.stack([imgs[k] for k in idxs])  # (n, h, w, 3)
+                cs = stack.sum(axis=3, dtype=np.int32)  # (n, h, w)
+                ys = np.arange(0, h, TILE)
+                xs = np.arange(0, w, TILE)
+                s = np.add.reduceat(
+                    np.add.reduceat(cs, ys, axis=1), xs, axis=2
+                )  # (n, gy, gx) int32
+                gy, gx = len(ys), len(xs)
+                areas = 3.0 * np.outer(
+                    np.minimum(ys + TILE, h) - ys, np.minimum(xs + TILE, w) - xs
+                )[None, :, :]
                 means = s / areas
                 for j, k in enumerate(idxs):
                     out["image_id"].append(ids[k])
@@ -320,8 +313,6 @@ def cell_mosaic(
     salted output byte-identical to unsalted (tested) — float means would
     not commute.
     """
-    from gjspark.functions.codecs import _resize_matrix
-
     salts = salt_map(images, cell_col, target_rows_per_salt)
     imgs = (
         images.select("image_id", F.col(cell_col).alias("cell"), "bytes", "fmt")
@@ -336,7 +327,6 @@ def cell_mosaic(
     )
 
     def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rm_cache: dict[int, np.ndarray] = {}
         acc = np.zeros((MOSAIC_SIZE, MOSAIC_SIZE, 3), dtype=np.int64)
         n = 0
         by_shape: dict[tuple, list[np.ndarray]] = {}
@@ -346,22 +336,12 @@ def cell_mosaic(
             except (ValueError, NotImplementedError):
                 continue
             by_shape.setdefault(img.shape, []).append(img)
-        for (h, w, _c), imgs in by_shape.items():
-            if h not in rm_cache:
-                rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE).astype(np.float32)
-            if w not in rm_cache:
-                rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE).astype(np.float32)
-            # (n, 3, h, w) channel-first -> two BLAS matmuls, batched
-            stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float32)
-            thumbs = rm_cache[h] @ stack @ rm_cache[w].T  # (n, 3, 32, 32)
-            # integer partial: rounding once per image keeps the per-cell
-            # sum independent of salt grouping
-            acc += (
-                np.clip(np.round(thumbs), 0, 255)
-                .astype(np.int64)
-                .sum(axis=0)
-                .transpose(1, 2, 0)
-            )
+        for shape, imgs in by_shape.items():
+            # exact integer thumbs (codecs.resize_rgb_exact): rounding once
+            # per image + integer sums keep the per-cell total independent
+            # of salt grouping AND of the batch the image landed in
+            th = C.resize_rgb_exact(np.stack(imgs), MOSAIC_SIZE)
+            acc += th.astype(np.int64).sum(axis=0).transpose(1, 2, 0)
             n += len(imgs)
         return pd.DataFrame(
             [{"cell": key[0], "n": n, "pix_sum": acc.tobytes()}]
@@ -387,10 +367,7 @@ def cell_mosaic_mapcombine(
     where a single *partition* would still hold too many distinct cells'
     worth of partials.
     """
-    from gjspark.functions.codecs import _resize_matrix
-
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rm_cache: dict[int, np.ndarray] = {}
         acc: dict[int, np.ndarray] = {}
         cnt: dict[int, int] = {}
         for pdf in batches:
@@ -403,15 +380,10 @@ def cell_mosaic_mapcombine(
                 grp = by_shape.setdefault(img.shape, ([], []))
                 grp[0].append(img)
                 grp[1].append(int(cell))
-            for (h, w, _c), (imgs, cells) in by_shape.items():
-                if h not in rm_cache:
-                    rm_cache[h] = _resize_matrix(h, MOSAIC_SIZE).astype(np.float32)
-                if w not in rm_cache:
-                    rm_cache[w] = _resize_matrix(w, MOSAIC_SIZE).astype(np.float32)
-                stack = np.stack(imgs).transpose(0, 3, 1, 2).astype(np.float32)
-                thumbs = np.clip(
-                    np.round(rm_cache[h] @ stack @ rm_cache[w].T), 0, 255
-                ).astype(np.int64)  # (n, 3, 32, 32)
+            for shape, (imgs, cells) in by_shape.items():
+                thumbs = C.resize_rgb_exact(np.stack(imgs), MOSAIC_SIZE).astype(
+                    np.int64
+                )  # (n, 3, 32, 32)
                 for t, cell in zip(thumbs, cells):
                     if cell not in acc:
                         acc[cell] = np.zeros(
