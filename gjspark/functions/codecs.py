@@ -388,6 +388,61 @@ def _exact_sandwich(L: np.ndarray, G: np.ndarray, R: np.ndarray) -> np.ndarray:
     return B.reshape(G.shape[:-2] + (L.shape[0], R.shape[0]))
 
 
+def to_chanfirst_f64(stack: np.ndarray) -> np.ndarray:
+    """(n, h, w, 3) uint8 -> (n, 3, h, w) float64 contiguous — the shared
+    cast every exact GEMM kernel below consumes (build it once per batch)."""
+    return np.ascontiguousarray(stack.transpose(0, 3, 1, 2), dtype=np.float64)
+
+
+def exact_row_col_sandwich(Xf: np.ndarray, L: np.ndarray, R: np.ndarray) -> np.ndarray:
+    """L @ G @ R.T over the trailing (h, w) axes of contiguous float64
+    ``Xf`` via two contiguous-reshape GEMMs (fastest single-thread layout
+    measured). Exact for integer-valued operands (see exact-kernel note)."""
+    h, w = Xf.shape[-2], Xf.shape[-1]
+    lead = Xf.shape[:-2]
+    A = (Xf.reshape(-1, w) @ R.T).reshape(lead + (h, R.shape[0]))
+    Y = np.ascontiguousarray(np.swapaxes(A, -1, -2)).reshape(-1, h)
+    B = (Y @ L.T).reshape(lead + (R.shape[0], L.shape[0]))
+    return np.ascontiguousarray(np.swapaxes(B, -1, -2))
+
+
+def block_mean_numerators_cf(Xf: np.ndarray, dst: int = 32) -> np.ndarray:
+    """Channel-first float64 (n, 3, h, w) -> exact block-mean numerators
+    T = Kh @ chan @ Kw.T per channel, (n, 3, dst, dst) integer-valued
+    float64 (thumb = rint(T / (h*w))).
+
+    All products/partials stay below 2^53, so the two large GEMMs are
+    exact and the result is independent of batch size / BLAS blocking
+    (see the exact-kernel note above). The phash luma resize reuses these
+    same numerators by linearity: Kh @ (lw . chans) @ Kw.T = sum_c lw_c T_c.
+    """
+    h, w = Xf.shape[-2], Xf.shape[-1]
+    if 255.0 * h * w * 1000.0 >= 2.0**53:
+        raise AssertionError("image too large for the exact kernel bound")
+    return exact_row_col_sandwich(Xf, _rm_int(h, dst), _rm_int(w, dst))
+
+
+def block_mean_numerators(stack: np.ndarray, dst: int = 32) -> np.ndarray:
+    """(n, h, w, 3) uint8 -> exact block-mean numerators (see above)."""
+    return block_mean_numerators_cf(to_chanfirst_f64(stack), dst)
+
+
+_TILE_M_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def tile_sum_matrix(size: int, tile: int) -> np.ndarray:
+    """(ceil(size/tile), size) 0/1 aggregation matrix: row j sums pixels
+    y with y // tile == j. Tile sums then run as exact float64 GEMMs
+    instead of reduceat (~5x faster single-thread, identical integers)."""
+    key = (size, tile)
+    if key not in _TILE_M_CACHE:
+        g = -(-size // tile)
+        P = np.zeros((g, size))
+        P[np.arange(size) // tile, np.arange(size)] = 1.0
+        _TILE_M_CACHE[key] = P
+    return _TILE_M_CACHE[key]
+
+
 def resize_rgb_exact(stack: np.ndarray, dst: int = 32) -> np.ndarray:
     """(n, h, w, 3) uint8 -> (n, 3, dst, dst) uint8 exact block-mean thumbs.
 
@@ -398,9 +453,13 @@ def resize_rgb_exact(stack: np.ndarray, dst: int = 32) -> np.ndarray:
     matching BLAS call shapes.
     """
     n, h, w, _c = stack.shape
-    cf = stack.transpose(0, 3, 1, 2)  # (n, 3, h, w) view; sandwich casts
-    t = _exact_sandwich(_rm_int(h, dst), cf, _rm_int(w, dst))
-    return np.clip(np.rint(t / float(h * w)), 0, 255).astype(np.uint8)
+    t = block_mean_numerators(stack, dst)
+    # true division (NOT reciprocal-multiply: that rounds differently at
+    # the last ulp and could flip the half-even rint), fused in place
+    np.divide(t, float(h * w), out=t)
+    np.rint(t, out=t)
+    np.clip(t, 0, 255, out=t)
+    return t.astype(np.uint8)
 
 
 # Fixed-point phash pipeline constants: integer luma (x1000) and the top
@@ -412,6 +471,25 @@ _LUMA_I = np.array([299.0, 587.0, 114.0])
 _D32FX = np.rint(_D32[:8] * 128.0)
 
 
+def phash_from_numerators(t: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Finish the phash from block-mean numerators T (n, 3, 32, 32).
+
+    luma resize numerators by linearity: s = 299*T_R + 587*T_G + 114*T_B
+    (exact integers, same values as resizing the x1000 integer luma).
+    Then quantize to 1/256 luma steps, fixed-point DCT, median threshold.
+    """
+    s = t[:, 0] * _LUMA_I[0] + t[:, 1] * _LUMA_I[1] + t[:, 2] * _LUMA_I[2]
+    # mean luma per 32x32 cell = s / (1000*h*w); quantize to 1/256 steps
+    small_fx = np.rint(s * (256.0 / (1000.0 * h * w)))  # ints <= 65280
+    coeff = _exact_sandwich(_D32FX, small_fx, _D32FX)  # (n, 8, 8) exact
+    block = coeff.reshape(len(t), 64)[:, 1:]
+    med = np.median(block, axis=1, keepdims=True)
+    bits = block > med
+    weights = (np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64))
+    out = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return out.view(np.int64)
+
+
 def phash64_same_size(imgs: np.ndarray) -> np.ndarray:
     """Vectorized phash for a stack of same-size images (n, h, w, 3).
 
@@ -419,21 +497,12 @@ def phash64_same_size(imgs: np.ndarray) -> np.ndarray:
     quantized to 1/256 luma steps -> fixed-point 2D DCT -> top-left 8x8
     (minus DC) median-thresholded. ``phash64`` delegates here, so
     single-image and batch values are bit-identical; exact integer
-    arithmetic makes batch values independent of batch size too.
+    arithmetic makes batch values independent of batch size too, and the
+    fused decode pass reuses its thumb numerators for the same hash.
     """
     imgs = np.asarray(imgs)
     n, h, w = imgs.shape[:3]
-    lum = imgs.astype(np.float64) @ _LUMA_I  # (n, h, w) exact ints <= 255000
-    s = _exact_sandwich(_rm_int(h), lum, _rm_int(w))  # exact ints
-    # mean luma per 32x32 cell = s / (1000*h*w); quantize to 1/256 steps
-    small_fx = np.rint(s * (256.0 / (1000.0 * h * w)))  # ints <= 65280
-    coeff = _exact_sandwich(_D32FX, small_fx, _D32FX)  # (n, 8, 8) exact
-    block = coeff.reshape(n, 64)[:, 1:]
-    med = np.median(block, axis=1, keepdims=True)
-    bits = block > med
-    weights = (np.uint64(1) << np.arange(62, -1, -1, dtype=np.uint64))
-    out = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
-    return out.view(np.int64)
+    return phash_from_numerators(block_mean_numerators(imgs), h, w)
 
 
 def phash64(img: np.ndarray) -> int:

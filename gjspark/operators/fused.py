@@ -107,13 +107,12 @@ def decoded_features(
                 ok[k] = True
                 dims_ok[k] = img.shape[0] == h0 and img.shape[1] == w0
             good = [k for k in range(n) if imgs[k] is not None]
-            if good:
-                ph_dec[np.array(good)] = C.phash64_batch([imgs[k] for k in good])
-            # shape-batched tile stats (identical math to image_tile_stats)
-            # and exact mosaic thumbs (codecs.resize_rgb_exact — the one
-            # shared kernel every mosaic plan uses). All per-pixel math is
-            # exact integer arithmetic (reduceat tile sums, integer-GEMM
-            # thumbs), so results are bit-identical at any batch size /
+            # shape-batched tile stats (identical math to image_tile_stats),
+            # exact mosaic thumbs, and the phash — ONE exact block-mean
+            # GEMM pass feeds both the thumbs and (by linearity of the
+            # resize) the phash luma stage. All per-pixel math is exact
+            # integer arithmetic (reduceat tile sums, integer-GEMM
+            # numerators), so results are bit-identical at any batch size /
             # partitioning / image size — no float32-vs-float64 cliff.
             # Chunked: cap the float64 working set at ~8M elements (64 MB)
             # per chunk so 32 workers stay within a few GB total while
@@ -129,31 +128,40 @@ def decoded_features(
             for (h, w, _c), idxs in chunked:
                 ia = np.array(idxs)
                 stack = np.stack([imgs[k] for k in idxs])  # (n, h, w, 3) u8
-                # per-pixel float64 luma then per-image mean — the batched
-                # reduction is bit-identical to multimodal.decode_stats'
-                # per-image one (same pairwise tree; regression-tested)
-                mean[ia] = (stack.astype(np.float64) @ _LUMA).mean(axis=(1, 2))
-                # integer tile sums: double reduceat over the channel sum
-                # (exact at ANY image size; int32 is safe — a 16x16 tile
-                # sums to at most 16*16*765 < 2^31)
-                cs = stack.sum(axis=3, dtype=np.int32)  # (n, h, w)
+                # ONE channel-first float64 cast feeds every exact GEMM
+                # kernel: thumbs, phash, tile sums, channel sums
+                xf = C.to_chanfirst_f64(stack)  # (n, 3, h, w)
+                # exact mean luma from integer channel sums (same formula,
+                # per-batch, as multimodal.decode_stats — parity-tested)
+                csum = xf.reshape(len(idxs) * 3, -1).sum(axis=1).reshape(-1, 3)
+                mean[ia] = (csum @ _LUMA) / float(h * w)
+                # exact integer tile sums as a float64 GEMM sandwich with
+                # 0/1 tile-aggregation matrices — identical integers to a
+                # reduceat at ANY image size, ~5x faster single-thread
+                cs_f = xf.sum(axis=1)  # (n, h, w) exact ints <= 765
+                s = C.exact_row_col_sandwich(
+                    cs_f, C.tile_sum_matrix(h, TILE), C.tile_sum_matrix(w, TILE)
+                )  # (n, gy, gx)
                 ys = np.arange(0, h, TILE)
                 xs = np.arange(0, w, TILE)
-                s = np.add.reduceat(
-                    np.add.reduceat(cs, ys, axis=1), xs, axis=2
-                )  # (n, gy, gx) int32
                 gy, gx = len(ys), len(xs)
                 areas = 3.0 * np.outer(
                     np.minimum(ys + TILE, h) - ys, np.minimum(xs + TILE, w) - xs
                 )
                 means = s / areas[None, :, :]
                 n_tiles[ia] = gy * gx
-                luma_wsum[ia] = s.sum(axis=(1, 2), dtype=np.int64) / 3.0
+                luma_wsum[ia] = s.sum(axis=(1, 2)) / 3.0
                 px[ia] = h * w
                 min_tm[ia] = means.min(axis=(1, 2))
                 max_tm[ia] = means.max(axis=(1, 2))
-                th = C.resize_rgb_exact(stack)  # (n, 3, 32, 32) uint8
-                th_hwc = np.ascontiguousarray(th.transpose(0, 2, 3, 1))
+                t = C.block_mean_numerators_cf(xf)  # (n, 3, 32, 32) exact
+                ph_dec[ia] = C.phash_from_numerators(t, h, w)
+                np.divide(t, float(h * w), out=t)
+                np.rint(t, out=t)
+                np.clip(t, 0, 255, out=t)
+                th_hwc = np.ascontiguousarray(
+                    t.astype(np.uint8).transpose(0, 2, 3, 1)
+                )
                 for j, k in enumerate(idxs):
                     thumbs[k] = th_hwc[j].tobytes()
             yield pd.DataFrame(

@@ -74,8 +74,12 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     continue
                 imgs[k] = img
                 crc[k] = zlib.crc32(img.tobytes()) & 0x7FFFFFFF
+                # exact mean luma from integer channel sums (bit-identical
+                # to fused.decoded_features' batched formula)
+                csum = img.sum(axis=(0, 1), dtype=np.int64)
                 mean[k] = float(
-                    (img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])).mean()
+                    (csum @ np.array([0.299, 0.587, 0.114]))
+                    / float(img.shape[0] * img.shape[1])
                 )
                 ok[k] = True
                 dims_ok[k] = img.shape[0] == h0 and img.shape[1] == w0
