@@ -120,10 +120,106 @@ def detect_language(text: str) -> str:
     return best if best_score > 0 else "und"
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated aranges: [0..c0), [0..c1), ... — vectorized."""
+    total = int(counts.sum())
+    reps = np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+    return np.arange(total) - reps
+
+
+_LANG_ORDER = [lang for lang in _LANG_PROFILES if lang != "zh"]
+_STOP_MAXLEN = 8
+
+
+def _pack_word_codes(words: set[str]) -> np.ndarray:
+    out = []
+    for wd in words:
+        try:
+            b = wd.encode("ascii")
+        except UnicodeEncodeError:
+            continue  # non-ASCII stopword can never occur in an ASCII batch
+        if len(b) <= _STOP_MAXLEN:
+            code = 0
+            for i, byte in enumerate(b):
+                code |= byte << (8 * i)
+            out.append(code)
+    return np.array(sorted(out), dtype=np.uint64)
+
+
+_STOP_CODES = {lang: _pack_word_codes(_LANG_PROFILES[lang][0]) for lang in _LANG_ORDER}
+
+
+def _langid_ascii_batch(texts: list[str]) -> list[str] | None:
+    """Vectorized language-id for an all-ASCII batch (the common corpus
+    case) — bit-identical to :func:`detect_language`: same [A-Za-z]+ word
+    extraction (equals the unicode word regex on ASCII), same stopword
+    ratios, same first-wins strictly-greater argmax. Returns None when the
+    batch contains any non-ASCII byte (callers fall back per-doc).
+
+    One concatenated byte buffer; word runs, per-doc word counts, and
+    stopword membership (words packed into uint64, exact comparison) are
+    all single numpy passes — no per-document Python loop.
+    """
+    n = len(texts)
+    joined = "\n".join(texts)
+    raw = joined.encode("utf-8")
+    if len(raw) != len(joined):  # non-ASCII present
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens + 1)))  # +1 for '\n' sep
+    lower = buf | 0x20
+    letter = (lower >= 0x61) & (lower <= 0x7A)
+    prev = np.concatenate(([False], letter[:-1]))
+    nxt = np.concatenate((letter[1:], [False]))
+    ws_pos = np.flatnonzero(letter & ~prev)
+    we_pos = np.flatnonzero(letter & ~nxt) + 1
+    word_doc = np.searchsorted(offs, ws_pos, side="right") - 1
+    nw = np.bincount(word_doc, minlength=n).astype(np.float64)
+    wlen = we_pos - ws_pos
+    # stopword membership: pack each short word's lowercased bytes into a
+    # uint64 (injective for len<=8) and compare exactly
+    cand = np.flatnonzero(wlen <= _STOP_MAXLEN)
+    scores = np.zeros((len(_LANG_ORDER), n))
+    if len(cand):
+        idx = ws_pos[cand, None] + np.arange(_STOP_MAXLEN)[None, :]
+        valid = idx < we_pos[cand, None]
+        chars = lower[np.minimum(idx, len(buf) - 1)] * valid
+        # shift-accumulate (uint64 matmul has no BLAS path and is ~100x
+        # slower than eight vectorized shifts)
+        codes = np.zeros(len(cand), dtype=np.uint64)
+        for i in range(_STOP_MAXLEN):
+            codes |= chars[:, i].astype(np.uint64) << np.uint64(8 * i)
+        cdoc = word_doc[cand]
+        for li, lang in enumerate(_LANG_ORDER):
+            match = np.isin(codes, _STOP_CODES[lang])
+            hits = np.bincount(cdoc[match], minlength=n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                scores[li] = np.where(nw > 0, hits / np.maximum(nw, 1), 0.0)
+    # first-wins strictly-greater argmax, exactly like the per-doc loop
+    best = np.zeros(n, dtype=np.int64) - 1
+    best_score = np.zeros(n)
+    for li in range(len(_LANG_ORDER)):
+        upd = scores[li] > best_score
+        best[upd] = li
+        best_score[upd] = scores[li][upd]
+    out = []
+    for d in range(n):
+        if lens[d] == 0 or nw[d] == 0 or best[d] < 0:
+            out.append("und")
+        else:
+            out.append(_LANG_ORDER[best[d]])
+    return out
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     @pandas_udf(T.StringType())
     def _lid(text: pd.Series) -> pd.Series:
-        return text.map(detect_language)
+        texts = ["" if t is None else t for t in text]
+        fast = _langid_ascii_batch(texts)
+        if fast is not None:
+            return pd.Series(fast)
+        return pd.Series([detect_language(t) for t in texts])
 
     return df.select(F.col(id_col), _lid(F.col(text_col)).alias("lang_pred"))
 
@@ -159,6 +255,82 @@ def _gram_hashes_i64(s: str, k: int) -> np.ndarray:
     return h.view(np.int64)
 
 
+def _winnow_batch(text: pd.Series, k: int, window: int) -> pd.DataFrame:
+    """Winnowing for a whole batch in single numpy passes: one concatenated
+    byte buffer for ALL k-gram hashes and sliding-window minima (windows
+    crossing a doc boundary are never selected), then per-doc dedup +
+    aggregates via lexsort + segmented reductions. Bit-identical to the
+    per-document formulation (regression-tested)."""
+    from gjspark.operators.dedup import _POLY_BASE
+
+    if not len(text):
+        return pd.DataFrame(
+            {"n_fingerprints": [], "min_fp": [], "fp_xor": []}
+        ).astype({"n_fingerprints": np.int32, "min_fp": np.int64, "fp_xor": np.int64})
+    # normalize (C-level string ops, no per-doc Python regex calls)
+    s = (
+        text.fillna("")
+        .str.lower()
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .str.pad(k, side="right", fillchar="_")
+    )
+    docs = [t.encode("utf-8") for t in s]
+    n = len(docs)
+    lens = np.array([len(b) for b in docs], dtype=np.int64)
+    buf = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    # Horner evaluation of sum_i b_i * BASE^i over k vectorized passes —
+    # no (N, k) temporary; identical uint64 wraparound arithmetic
+    ngrams = len(buf) - k + 1
+    h64 = np.zeros(ngrams, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k - 1, -1, -1):
+            h64 *= _POLY_BASE
+            h64 += buf[i : i + ngrams]
+    h = h64.view(np.int64)
+    m = lens - k + 1  # per-doc gram count (>=1: padded to k)
+    # signed sliding-window minima over the whole buffer at once
+    if len(h) >= window:
+        gmin = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+    else:
+        gmin = h[:0]
+    long_doc = m >= window
+    # gather the winnow picks doc by doc IN ORDER (long docs take their
+    # window-min range, short docs their raw grams), so docix comes out
+    # non-decreasing and no global sort is ever needed
+    counts = np.where(long_doc, m - window + 1, m)
+    pos = np.repeat(offs[:-1], counts) + _ranges(counts)
+    from_min = np.repeat(long_doc, counts)
+    if len(gmin):
+        vals = np.where(from_min, gmin[np.minimum(pos, len(gmin) - 1)], h[pos])
+    else:  # no doc is long enough for a full window
+        vals = h[pos]
+    docix = np.repeat(np.arange(n), counts)
+    # winnowing repeats the same minimum across consecutive windows
+    # (~60% of picks at window=4): drop consecutive duplicates first —
+    # a strict subset of the full dedup below, so harmless
+    keep = np.concatenate(
+        ([True], (vals[1:] != vals[:-1]) | (docix[1:] != docix[:-1]))
+    )
+    vals, docix = vals[keep], docix[keep]
+    # full per-doc dedup by hashing (order-preserving, O(n) — beats a
+    # lexsort), then segmented reductions; min/xor are order-independent
+    uniq = ~pd.DataFrame({"d": docix, "v": vals}).duplicated().to_numpy()
+    dv, vv = docix[uniq], vals[uniq]
+    bounds = np.flatnonzero(np.concatenate(([True], dv[1:] != dv[:-1])))
+    ns = np.diff(np.concatenate((bounds, [len(dv)])))
+    mins = np.minimum.reduceat(vv, bounds)
+    xors = np.bitwise_xor.reduceat(vv, bounds)
+    return pd.DataFrame(
+        {
+            "n_fingerprints": ns.astype(np.int32),
+            "min_fp": mins,
+            "fp_xor": xors,
+        }
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -181,21 +353,7 @@ def winnow_fingerprints(
         )
     )
     def _win(text: pd.Series) -> pd.DataFrame:
-        ns, mins, xors = [], [], []
-        for t in text:
-            s = re.sub(r"\s+", " ", (t or "").lower()).strip()
-            if len(s) < k:
-                s = s.ljust(k, "_")
-            hashes = _gram_hashes_i64(s, k)
-            if len(hashes) >= window:
-                win = np.lib.stride_tricks.sliding_window_view(hashes, window)
-                picks = np.unique(win.min(axis=1))
-            else:
-                picks = np.unique(hashes)
-            ns.append(len(picks))
-            mins.append(int(picks.min()))
-            xors.append(int(np.bitwise_xor.reduce(picks)))
-        return pd.DataFrame({"n_fingerprints": ns, "min_fp": mins, "fp_xor": xors})
+        return _winnow_batch(text, k, window)
 
     out = df.select(F.col(id_col), _win(F.col(text_col)).alias("w"))
     return out.select(

@@ -226,3 +226,52 @@ def test_audio_features(spark):
     assert abs(r["peak"] - 0.5) < 0.01
     # 100 Hz sine crosses zero 200x per second -> zcr ~ 200/8000
     assert abs(r["zero_cross_rate"] - 200 / rate) < 0.005
+
+
+class TestVectorizedTextKernels:
+    """The batched langid / winnow kernels must be bit-identical to the
+    per-document formulations they replaced (they are pure vectorizations,
+    not approximations)."""
+
+    def test_langid_batch_matches_per_doc(self):
+        import numpy as np
+        from gjspark.operators import text as TX
+
+        rng = np.random.default_rng(99)
+        words = ["the", "and", "der", "und", "nicht", "le", "pour", "el",
+                 "una", "data", "x", "Z", "123", "spark"]
+        docs = [" ".join(rng.choice(words, rng.integers(0, 40))) for _ in range(300)]
+        docs[0], docs[1] = "", "   "
+        fast = TX._langid_ascii_batch(docs)
+        assert fast == [TX.detect_language(t) for t in docs]
+
+    def test_langid_non_ascii_falls_back(self):
+        from gjspark.operators import text as TX
+
+        assert TX._langid_ascii_batch(["das ist ein häuschen"]) is None
+
+    def test_winnow_batch_matches_per_doc(self):
+        import re
+
+        import numpy as np
+        import pandas as pd
+        from gjspark.operators import text as TX
+
+        rng = np.random.default_rng(17)
+        docs = ["".join(rng.choice(list("abcdef \t"), rng.integers(0, 120)))
+                for _ in range(200)]
+        docs[:3] = ["", "ab", "abcdefgh"]
+        got = TX._winnow_batch(pd.Series(docs), 8, 4)
+        for i, d in enumerate(docs):
+            s = re.sub(r"\s+", " ", d.lower()).strip()
+            if len(s) < 8:
+                s = s.ljust(8, "_")
+            h = TX._gram_hashes_i64(s, 8)
+            if len(h) >= 4:
+                win = np.lib.stride_tricks.sliding_window_view(h, 4)
+                p = np.unique(win.min(axis=1))
+            else:
+                p = np.unique(h)
+            assert got["n_fingerprints"][i] == len(p)
+            assert got["min_fp"][i] == int(p.min())
+            assert got["fp_xor"][i] == int(np.bitwise_xor.reduce(p))
