@@ -300,6 +300,28 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, n_list=16, n_probe=12)
 
 
+def q_ivf_recall(spark, sf_dir):
+    """IVF quality gate in the contract (round-3 verdict item): recall of
+    ivf_topk's neighbor-id sets vs the brute-force top-k must stay >= 0.9.
+    The brute-force reference is computed in-engine but is itself anchored
+    (q_ann_topk hashes against the DuckDB brute-force SQL); the oracle
+    independently pins the pair count and expects the recall flag true —
+    an IVF quality regression flips the flag and reds this row."""
+    from gjspark.operators.ann import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(emb, k=5, n_list=16, n_probe=12).select("vec_id", "neighbor_id")
+    bf = brute_force_topk(emb, k=5).select("vec_id", "neighbor_id")
+    matched = bf.join(ivf, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("m")
+    )
+    total = bf.agg(F.count("*").alias("n_pairs"))
+    return total.crossJoin(matched).select(
+        F.col("n_pairs"),
+        (F.col("m") / F.col("n_pairs") >= 0.9).alias("recall_ge_090"),
+    )
+
+
 def q_embed_pairs(spark, sf_dir):
     """Embedding near-dup via hyperplane LSH over the planted-dup fixture
     (the driver's embeddings table has no pairs above any sane threshold,
@@ -817,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_winnow": q_winnow,
         "q_ivf_topk": q_ivf_topk,
+        "q_ivf_recall": q_ivf_recall,
         "q_embed_pairs": q_embed_pairs,
         # geospatial / image pipeline
         "q_cells": q_cells,
@@ -1074,6 +1097,20 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{fx}/expected_ivf_sf001.parquet') g
             JOIN embeddings q ON q.vec_id = g.vec_id
             JOIN embeddings n ON n.vec_id = g.neighbor_id
+        """,
+        # recall gate: DuckDB pins the brute-force pair count and expects
+        # the >=0.9 recall flag true; an IVF quality regression flips the
+        # Spark-side flag and hash-mismatches this row
+        "q_ivf_recall": """
+            SELECT count(*) AS n_pairs, true AS recall_ge_090
+            FROM (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                b.vec_id) AS rn
+              FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+            WHERE rn <= 5
         """,
         # brute-force all-pairs (algorithm-independent of the LSH path):
         "q_embed_pairs": f"""
