@@ -34,7 +34,10 @@ from gjspark.functions import geometry as G
 from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v13"  # v13: exact fixed-point phash + exact block-mean thumbs
+VERSION = "v14"  # v14: real JPEG rows in the e2e corpus (pure-numpy T.81)
+# bench corpus version: bumps only when BENCH file content changes
+# (v14 added jpeg to the e2e cycle only — bench content is still v13's)
+BENCH_VERSION = "v13"
 SEED = 42
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -162,7 +165,10 @@ _WORDS = (
 
 W_CYCLE = [16, 32, 64, 128]
 H_CYCLE = [16, 24, 64, 96]
-FMT_CYCLE = ["ppm", "bmp", "png", "dct"]
+# e2e/contract corpus exercises the real JPEG codec; the bench corpus
+# keeps the 4-format cycle so round-over-round throughput stays comparable
+FMT_CYCLE = ["ppm", "bmp", "png", "dct", "jpeg"]
+FMT_CYCLE_BENCH = ["ppm", "bmp", "png", "dct"]
 
 
 def make_image(i: int) -> np.ndarray:
@@ -181,8 +187,9 @@ def caption_for(i: int) -> str:
     return f"caption {i} {words}"
 
 
-def make_images_table(n: int):
+def make_images_table(n: int, formats: list[str] | None = None):
     """-> dict of columns for the Iceberg-shaped images table."""
+    formats = FMT_CYCLE if formats is None else formats
     rng = np.random.default_rng(SEED + 1)
     feats = make_features()
     cents = feature_centroids(feats)
@@ -207,7 +214,7 @@ def make_images_table(n: int):
     for i in range(n):
         img = make_image(i)
         imgs.append(img)
-        fmt = FMT_CYCLE[i % 4]
+        fmt = formats[i % len(formats)]
         ids.append(f"img-{i:08d}")
         blobs.append(C.encode_image(img, fmt))
         hs.append(img.shape[0])
@@ -307,7 +314,7 @@ def oracle_images(image_id, blobs, fmts):
     for k, (b, f) in enumerate(zip(blobs, fmts)):
         img = C.decode_image(b, f)
         crcs.append(zlib.crc32(img.tobytes()) & 0x7FFFFFFF)
-        if f == "dct":
+        if f not in C.LOSSLESS:
             src = make_image(k)
             psnrs.append(C.psnr(src, img))
         else:
@@ -1028,7 +1035,7 @@ def ensure_fixtures(root: str = DEFAULT_DIR) -> str:
 def ensure_bench_images(n: int, root: str = DEFAULT_DIR) -> str:
     """Larger image table for bench runs (cached by size AND fixture
     version — a phash/codec change must not leave stale stored columns)."""
-    path = os.path.join(root, f"images_bench_{n}_{VERSION}.parquet")
+    path = os.path.join(root, f"images_bench_{n}_{BENCH_VERSION}.parquet")
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)
         # n=20000 must not glob-match n=200000: match the exact legacy name
@@ -1039,7 +1046,7 @@ def ensure_bench_images(n: int, root: str = DEFAULT_DIR) -> str:
             stale.append(legacy)
         for old in stale:
             os.unlink(old)
-        cols = make_images_table(n)
+        cols = make_images_table(n, formats=FMT_CYCLE_BENCH)
         _write_parquet(path, cols, _images_schema())
     return path
 

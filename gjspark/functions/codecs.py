@@ -280,8 +280,24 @@ def decode_dct(data: bytes) -> np.ndarray:
 # dispatch + metrics + phash
 # ---------------------------------------------------------------------------
 
-_ENCODERS = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png, "dct": encode_dct}
-_DECODERS = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png, "dct": decode_dct}
+from gjspark.functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+_ENCODERS = {
+    "ppm": encode_ppm,
+    "bmp": encode_bmp,
+    "png": encode_png,
+    "dct": encode_dct,
+    # quality 97 keeps the corpus-wide PSNR >= 40 dB lossy invariant
+    "jpeg": lambda img: encode_jpeg(img, 97),
+}
+_DECODERS = {
+    "ppm": decode_ppm,
+    "bmp": decode_bmp,
+    "png": decode_png,
+    "dct": decode_dct,
+    "jpeg": decode_jpeg,
+    "jpg": decode_jpeg,
+}
 LOSSLESS = {"ppm", "bmp", "png"}
 
 

@@ -38,7 +38,10 @@ DECODE_STATS_SCHEMA = T.StructType(
     ]
 )
 
-STUB_FORMATS = {"jpeg", "jpg", "webp", "avif", "mp4", "webm"}
+# jpeg/jpg decode is REAL now (gjspark/functions/jpeg.py, pure-numpy
+# baseline T.81); only formats with no from-spec implementation remain
+# honest environment stubs
+STUB_FORMATS = {"webp", "avif", "mp4", "webm"}
 
 
 def _decode_one(data: bytes, fmt: str) -> np.ndarray:
