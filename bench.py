@@ -187,7 +187,13 @@ def run_bench(
     return result
 
 
-def run_scaling(levels=(2, 8, 32), reps: int = 2) -> None:
+def run_scaling(
+    levels=(2, 8, 32),
+    reps: int = 2,
+    bench_n: int | None = None,
+    out_md: str = "BASELINE.md",
+    raw_json: str = "scaling_raw.json",
+) -> None:
     """Same job at several parallelism levels -> BENCH/BASELINE.md.
 
     The north rule's N->4N criterion is evidenced per the driver
@@ -202,7 +208,9 @@ def run_scaling(levels=(2, 8, 32), reps: int = 2) -> None:
         os.environ,
         # larger input for scaling: amortizes per-stage fixed costs so the
         # measurement reflects throughput, not job-scheduling constants
-        SPARK_GRAFT_BENCH_N=os.environ.get("SPARK_GRAFT_BENCH_N", "500000"),
+        SPARK_GRAFT_BENCH_N=str(
+            bench_n or os.environ.get("SPARK_GRAFT_BENCH_N", "500000")
+        ),
     )
     for threads in levels:
         out = subprocess.run(
@@ -228,9 +236,9 @@ def run_scaling(levels=(2, 8, 32), reps: int = 2) -> None:
     eff_8_32 = (thr[32] / thr[8]) / 4.0 if 32 in thr else None
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     # raw per-level results survive BASELINE.md rewrites
-    with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", raw_json), "w") as f:
         json.dump({str(t): results[t] for t in levels}, f, indent=1)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_md), "w") as f:
         f.write(
             "# BENCH/BASELINE — scaling evidence (N -> 4N parallelism)\n\n"
             "The north rule's two-cluster-size criterion cannot use a real\n"
@@ -295,6 +303,13 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--master", default=None)
     p.add_argument("--scaling", action="store_true")
+    p.add_argument(
+        "--scaling-large",
+        action="store_true",
+        help="the 1-5M-row sweep BASELINE.md's measurement plan promises "
+        "(2M rows = the 500k corpus deterministically replicated 4x with "
+        "re-suffixed ids); writes BENCH/SCALING_2M.md",
+    )
     p.add_argument("--spatial-only", action="store_true")
     # min-of-2 by default: single-rep first executions on this shared-host
     # VM swing 2-10x (cold page cache + co-tenant noise); the second rep
@@ -303,5 +318,11 @@ if __name__ == "__main__":
     args = p.parse_args()
     if args.scaling:
         run_scaling()
+    elif args.scaling_large:
+        run_scaling(
+            bench_n=2_000_000,
+            out_md="SCALING_2M.md",
+            raw_json="scaling_raw_2m.json",
+        )
     else:
         print(json.dumps(run_bench(args.master, args.spatial_only, args.reps)))

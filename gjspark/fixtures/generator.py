@@ -1032,9 +1032,44 @@ def ensure_fixtures(root: str = DEFAULT_DIR) -> str:
     return root
 
 
+#: base corpus size above which bench tables are built by deterministic
+#: replication instead of fresh generation (generation is ~25 min/M rows)
+_BENCH_REPLICATE_BASE = 500_000
+
+
 def ensure_bench_images(n: int, root: str = DEFAULT_DIR) -> str:
     """Larger image table for bench runs (cached by size AND fixture
-    version — a phash/codec change must not leave stale stored columns)."""
+    version — a phash/codec change must not leave stale stored columns).
+
+    Above ``_BENCH_REPLICATE_BASE`` rows the corpus is the 500k base table
+    replicated with re-suffixed image_ids (one parquet file per replica,
+    so the scan splits). A throughput sweep needs row count and key
+    cardinality, not novel pixel content; positions repeat, so the cell
+    distribution — including the deliberate ~10% hot cell — is preserved
+    exactly at every scale.
+    """
+    if n > _BENCH_REPLICATE_BASE:
+        if n % _BENCH_REPLICATE_BASE:
+            raise ValueError(f"replicated bench size must be a multiple of "
+                             f"{_BENCH_REPLICATE_BASE}")
+        base = ensure_bench_images(_BENCH_REPLICATE_BASE, root)
+        path = os.path.join(root, f"images_bench_{n}_{BENCH_VERSION}")
+        marker = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(marker):
+            t = pq.read_table(base)
+            os.makedirs(path, exist_ok=True)
+            col = t.schema.get_field_index("image_id")
+            for r in range(n // _BENCH_REPLICATE_BASE):
+                ids = pa.array(
+                    [f"r{r}-{s}" for s in t.column("image_id").to_pylist()]
+                )
+                pq.write_table(
+                    t.set_column(col, "image_id", ids),
+                    os.path.join(path, f"part-{r:03d}.parquet"),
+                )
+            with open(marker, "w"):
+                pass
+        return path
     path = os.path.join(root, f"images_bench_{n}_{BENCH_VERSION}.parquet")
     if not os.path.exists(path):
         os.makedirs(root, exist_ok=True)

@@ -58,12 +58,28 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("source_files", T.StringType()),
         T.StructField("wall_ms", T.LongType()),
         T.StructField("status", T.StringType()),
+        T.StructField("file", T.StringType()),
     ]
 )
 
 
 def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.parquet")
+
+
+def read_checkpointed(spark, out_dir: str) -> DataFrame:
+    """Read a checkpointed dataset trusting the MANIFEST, not the
+    directory listing — the object-store-safe half of the write-then-
+    manifest protocol: orphaned files from failed unique-name attempts
+    sit in the directory but are never listed in the manifest, so they
+    are invisible here."""
+    mp = manifest_path(out_dir)
+    if not os.path.exists(mp):
+        raise FileNotFoundError(f"no manifest at {mp}")
+    m = pq.read_table(mp).to_pandas()
+    ok = m[m["status"] == "ok"]
+    files = [os.path.join(out_dir, f) for f in ok["file"].tolist()]
+    return spark.read.parquet(*files)
 
 
 def completed_parts(out_dir: str) -> set[int]:
@@ -83,6 +99,7 @@ def checkpointed_write(
     cell_col: str | None = None,
     source_col: str | None = None,
     resume: bool = True,
+    commit: str = "rename",
 ) -> pd.DataFrame:
     """Write ``df`` to ``out_dir`` in ``n_parts`` deterministic logical
     partitions; returns the full manifest (pandas). Safe to re-run: on
@@ -92,7 +109,21 @@ def checkpointed_write(
     per-partition ``pyarrow.ParquetWriter``s — it never holds a logical
     partition in memory. ``n_parts=None`` derives the count from the
     input's scan parallelism (resume granularity tracks data volume).
+
+    ``commit`` selects the part-file commit protocol:
+
+    - ``"rename"`` (local FS / HDFS): temp name + atomic ``os.replace``;
+      stable ``part=N.parquet`` names.
+    - ``"unique-name"`` (object stores — S3/GCS have no atomic rename):
+      each attempt writes straight to a unique object name
+      ``part=N-<attempt>.parquet`` and the MANIFEST — the single last
+      commit — is the only source of truth. Readers
+      (:func:`read_checkpointed`) list files from the manifest, never
+      from the directory, so half-written or orphaned attempt files from
+      failed runs are invisible.
     """
+    if commit not in ("rename", "unique-name"):
+        raise ValueError("commit must be 'rename' or 'unique-name'")
     os.makedirs(out_dir, exist_ok=True)
     done = completed_parts(out_dir) if resume else set()
     if n_parts is None:
@@ -121,8 +152,16 @@ def checkpointed_write(
                 table = pa.Table.from_pandas(body, preserve_index=False)
                 st = writers.get(part)
                 if st is None:
-                    final = os.path.join(out_dir, f"part={part}.parquet")
-                    tmp = final + f".tmp-{os.getpid()}"
+                    if commit == "unique-name":
+                        import uuid
+
+                        final = os.path.join(
+                            out_dir, f"part={part}-{uuid.uuid4().hex[:12]}.parquet"
+                        )
+                        tmp = final  # written directly; manifest commits it
+                    else:
+                        final = os.path.join(out_dir, f"part={part}.parquet")
+                        tmp = final + f".tmp-{os.getpid()}"
                     st = writers[part] = {
                         "t0": time.time(),
                         "final": final,
@@ -146,7 +185,10 @@ def checkpointed_write(
         for part, st in sorted(writers.items()):
             st["writer"].close()
             size = os.path.getsize(st["tmp"])
-            os.replace(st["tmp"], st["final"])  # atomic commit of the part
+            if st["tmp"] != st["final"]:
+                os.replace(st["tmp"], st["final"])  # atomic commit (rename FS)
+            # unique-name mode: no rename exists on the target store — the
+            # file only becomes visible when the manifest commits it
             rows.append(
                 {
                     "job_id": job_id,
@@ -160,6 +202,7 @@ def checkpointed_write(
                     else "[]",
                     "wall_ms": int((time.time() - st["t0"]) * 1000),
                     "status": "ok",
+                    "file": os.path.basename(st["final"]),
                 }
             )
         if rows:

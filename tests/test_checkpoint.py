@@ -79,3 +79,88 @@ def test_no_double_processing_on_full_rerun(df, tmp_path):
     # second run had nothing to do; manifest still complete
     assert m2["row_count"].sum() == 10_000
     assert len(_read_all(out)) == 10_000
+
+
+class TestUniqueNameCommit:
+    """Object-store twin (no atomic rename): parts write straight to
+    unique object names; the manifest is the only source of truth and
+    readers must never trust the directory listing."""
+
+    def test_writes_unique_names_and_reader_uses_manifest(self, df, tmp_path):
+        from gjspark.plans.checkpoint import read_checkpointed
+
+        out = str(tmp_path / "os1")
+        m = checkpointed_write(
+            df, out, "j", id_col="image_id", n_parts=8, commit="unique-name"
+        )
+        assert len(m) == 8 and (m["status"] == "ok").all()
+        # every committed file has an attempt suffix, no tmp leftovers
+        for f in m["file"]:
+            assert "-" in f and f.endswith(".parquet")
+        assert not glob.glob(os.path.join(out, "*.tmp-*"))
+        body = (
+            read_checkpointed(df.sparkSession, out)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert len(body) == 10_000
+
+    def test_orphaned_attempt_files_are_invisible(self, df, tmp_path):
+        """A failed attempt leaves half-written objects in the directory
+        (object stores cannot clean atomically). The manifest never lists
+        them, so the reader must return exactly one copy of every row."""
+        from gjspark.plans.checkpoint import read_checkpointed
+
+        out = str(tmp_path / "os2")
+        checkpointed_write(
+            df, out, "j", id_col="image_id", n_parts=8, commit="unique-name"
+        )
+        # plant orphans: a duplicate data file AND a garbage half-object,
+        # both with valid-looking unique names
+        committed = glob.glob(os.path.join(out, "part=3-*.parquet"))[0]
+        dup = os.path.join(out, "part=3-deadbeef0000.parquet")
+        with open(committed, "rb") as a, open(dup, "wb") as b:
+            b.write(a.read())
+        with open(os.path.join(out, "part=5-feedface0000.parquet"), "wb") as f:
+            f.write(b"PAR1 half-written garbage from a killed attempt")
+        body = (
+            read_checkpointed(df.sparkSession, out)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert len(body) == 10_000  # no duplicates, no crash on garbage
+        assert body["image_id"].is_unique
+
+    def test_resume_recommits_only_missing_parts(self, df, tmp_path):
+        from gjspark.plans import checkpoint as CP
+
+        out = str(tmp_path / "os3")
+        CP.checkpointed_write(
+            df, out, "j", id_col="image_id", n_parts=8, commit="unique-name"
+        )
+        # simulate a crash that lost parts 2 and 6 from the manifest
+        # (their attempt files remain as orphans)
+        mp = CP.manifest_path(out)
+        m = pq.read_table(mp).to_pandas()
+        kept = m[~m["part_id"].isin([2, 6])]
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(kept, preserve_index=False), mp)
+        n_files_before = len(glob.glob(os.path.join(out, "part=*.parquet")))
+        full = CP.checkpointed_write(
+            df, out, "j", id_col="image_id", n_parts=8, commit="unique-name"
+        )
+        # resumed manifest complete; only the two missing parts re-ran
+        assert sorted(full["part_id"]) == list(range(8))
+        assert full["row_count"].sum() == 10_000
+        n_files_after = len(glob.glob(os.path.join(out, "part=*.parquet")))
+        assert n_files_after == n_files_before + 2  # orphans remain, ignored
+        body = (
+            CP.read_checkpointed(df.sparkSession, out)
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+        assert len(body) == 10_000 and body["image_id"].is_unique
