@@ -11,11 +11,28 @@ permutation tables, odd faces starting axis-swapped) -> 64-bit cell id
 
 Every construction step follows the published definition, and the
 spec-derivable vectors (the six face-cell ids, hierarchy/roundtrip
-invariants) are asserted in ``tests/test_cells.py``. End-to-end
-canonical-id equality with the real s2geometry library cannot be
-verified offline (no s2 binding in this sandbox and, unlike H3, no
-worked full-id examples in the public docs to hard-code) — treat
-interop as probable-but-unvalidated until a vector check runs.
+invariants, the level-1 child order) are asserted in
+``tests/test_cells.py``.
+
+INTEROP STATUS (closed round 4, after a second search pass): end-to-end
+canonical-id equality with the real s2geometry library is
+**unvalidated in this sandbox and will stay so** — there is no s2
+binding or vector file offline and, unlike H3 (whose docs publish
+quickstart cell ids), the public S2 docs describe the curve and id
+layout but print no worked full-precision cell ids that could be
+restated from memory with confidence. Everything spec-derivable IS
+pinned; the single remaining risk is a convention mismatch (e.g. an
+axis-orientation choice) that all internal invariants are symmetric
+under. Validating against the real library in a full environment is a
+two-line check::
+
+    import s2sphere  # or pywraps2
+    assert s2_cell([lat], [lng], 16)[0] == s2sphere.CellId.from_lat_lng(
+        s2sphere.LatLng.from_degrees(lat, lng)).parent(16).id()
+
+Until that runs, treat cross-library joins on ``s2_cell`` as requiring
+this one-time verification; joins between columns produced by THIS
+module are exact regardless.
 
 Not in the reference repo (it has no spatial index at all — per-feature
 linear scans, ``geojson/GeoJsonConverter.java:185-196``); required by the
