@@ -255,6 +255,61 @@ def _gram_hashes_i64(s: str, k: int) -> np.ndarray:
     return h.view(np.int64)
 
 
+_WS_LUT = np.zeros(256, dtype=bool)
+for _c in (9, 10, 11, 12, 13, 32):
+    _WS_LUT[_c] = True
+_UPPER_LUT = np.arange(256, dtype=np.uint8)
+_UPPER_LUT[65:91] += 32  # A-Z -> a-z; nothing else moves
+
+
+def _normalize_ascii_batch(texts: list[str], k: int):
+    """Vectorized twin of ``re.sub(r"\\s+", " ", t.lower()).strip()`` plus
+    right-padding to ``k`` — for all-ASCII batches, on one concatenated
+    byte buffer. Returns (buf, offs) or None for non-ASCII input.
+
+    Bit-identical on ASCII: ``str.lower`` only moves A-Z, ``\\s`` matches
+    exactly {tab, nl, vtab, ff, cr, space}, and after run-collapapse each
+    doc has at most one leading/trailing space, so single-char trims
+    realize ``strip``.
+    """
+    joined = "".join(texts)
+    raw = joined.encode("utf-8")
+    if len(raw) != len(joined):
+        return None
+    buf0 = np.frombuffer(raw, dtype=np.uint8)
+    lens0 = np.array([len(t) for t in texts], dtype=np.int64)
+    offs0 = np.concatenate(([0], np.cumsum(lens0)))
+    low = _UPPER_LUT[buf0]
+    ws = _WS_LUT[low]
+    low = np.where(ws, np.uint8(32), low)
+    prev = np.concatenate(([False], ws[:-1]))
+    if len(prev):
+        prev[offs0[:-1].clip(max=len(prev) - 1)] = False
+    keep = ~(ws & prev)
+    buf1 = low[keep]
+    csum = np.concatenate(([0], np.cumsum(keep)))
+    kept = csum[offs0[1:]] - csum[offs0[:-1]]
+    offs1 = np.concatenate(([0], np.cumsum(kept)))
+    # strip: at most one leading + one trailing space remain per doc
+    starts = offs1[:-1].copy()
+    ends = offs1[1:].copy()
+    if len(buf1):
+        has = ends > starts
+        lead = has & (buf1[np.minimum(starts, len(buf1) - 1)] == 32)
+        starts[lead] += 1
+        has = ends > starts
+        trail = has & (buf1[np.maximum(ends - 1, 0)] == 32)
+        ends[trail] -= 1
+    tlen = ends - starts
+    flen = np.maximum(tlen, k)  # right-pad short docs with '_'
+    offs2 = np.concatenate(([0], np.cumsum(flen)))
+    buf2 = np.full(int(offs2[-1]), ord("_"), dtype=np.uint8)
+    src = np.repeat(starts, tlen) + _ranges(tlen)
+    dst = np.repeat(offs2[:-1], tlen) + _ranges(tlen)
+    buf2[dst] = buf1[src]
+    return buf2, offs2
+
+
 def _winnow_batch(text: pd.Series, k: int, window: int) -> pd.DataFrame:
     """Winnowing for a whole batch in single numpy passes: one concatenated
     byte buffer for ALL k-gram hashes and sliding-window minima (windows
@@ -267,19 +322,24 @@ def _winnow_batch(text: pd.Series, k: int, window: int) -> pd.DataFrame:
         return pd.DataFrame(
             {"n_fingerprints": [], "min_fp": [], "fp_xor": []}
         ).astype({"n_fingerprints": np.int32, "min_fp": np.int64, "fp_xor": np.int64})
-    # normalize (C-level string ops, no per-doc Python regex calls)
-    s = (
-        text.fillna("")
-        .str.lower()
-        .str.replace(r"\s+", " ", regex=True)
-        .str.strip()
-        .str.pad(k, side="right", fillchar="_")
-    )
-    docs = [t.encode("utf-8") for t in s]
-    n = len(docs)
-    lens = np.array([len(b) for b in docs], dtype=np.int64)
-    buf = np.frombuffer(b"".join(docs), dtype=np.uint8)
-    offs = np.concatenate(([0], np.cumsum(lens)))
+    n = len(text)
+    texts = ["" if t is None else t for t in text]
+    norm = _normalize_ascii_batch(texts, k)  # vectorized ASCII fast path
+    if norm is not None:
+        buf, offs = norm
+        lens = np.diff(offs)
+    else:  # non-ASCII batch: C-level pandas string ops per doc
+        s = (
+            text.fillna("")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+            .str.pad(k, side="right", fillchar="_")
+        )
+        docs = [t.encode("utf-8") for t in s]
+        lens = np.array([len(b) for b in docs], dtype=np.int64)
+        buf = np.frombuffer(b"".join(docs), dtype=np.uint8)
+        offs = np.concatenate(([0], np.cumsum(lens)))
     # Horner evaluation of sum_i b_i * BASE^i over k vectorized passes —
     # no (N, k) temporary; identical uint64 wraparound arithmetic
     ngrams = len(buf) - k + 1
