@@ -165,12 +165,22 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode_lut(bits: list[int], vals: list[int]) -> np.ndarray:
+_DECODE_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     """16-bit peek LUT: lut[peek16] = (symbol << 8) | code_length.
 
     Canonical codes are prefix-free, so every 16-bit window starting with
-    a code maps to that code; one array lookup decodes a symbol.
+    a code maps to that code; one lookup decodes a symbol. Returned as a
+    plain Python list (the hot loop indexes it ~2k times per image, and a
+    list index is ~5x a numpy scalar extraction) and cached by table
+    content — real streams reuse the same DHT tables for every image.
     """
+    key = bytes(bits) + bytes(vals)
+    cached = _DECODE_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
     lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
@@ -182,7 +192,9 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> np.ndarray:
             code += 1
             k += 1
         code <<= 1
-    return lut
+    out = lut.tolist()
+    _DECODE_LUT_CACHE[key] = out
+    return out
 
 
 _ENC_TABLES = {
@@ -522,29 +534,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 def _entropy_segments(data: bytes, pos: int):
-    """Split the entropy stream at RST/EOI markers, unstuffing 0xFF00."""
-    segments = []
-    cur = bytearray()
-    i = pos
-    n = len(data)
-    while i < n:
-        b = data[i]
-        if b == 0xFF:
-            m = data[i + 1] if i + 1 < n else 0xD9
-            if m == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= m <= 0xD7:  # RSTn
-                segments.append(np.frombuffer(bytes(cur), dtype=np.uint8))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        i += 1
-    segments.append(np.frombuffer(bytes(cur), dtype=np.uint8))
-    return segments
+    """Split the entropy stream at RST/EOI markers, unstuffing 0xFF00.
+
+    Vectorized: locate every 0xFF, classify its successor byte once, cut
+    the stream at the first terminating marker, drop stuffing zeros and
+    RST marker pairs, and split at the RST positions — no per-byte loop.
+    """
+    a = np.frombuffer(data, dtype=np.uint8, offset=pos)
+    ff = np.flatnonzero(a == 0xFF)
+    if len(ff):
+        nxt = np.where(ff + 1 < len(a), a[np.minimum(ff + 1, len(a) - 1)], 0xD9)
+        is_stuff = nxt == 0x00
+        is_rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+        term = np.flatnonzero(~(is_stuff | is_rst))
+        end = int(ff[term[0]]) if len(term) else len(a)
+        inseg = ff < end
+        ff, is_stuff, is_rst = ff[inseg], is_stuff[inseg], is_rst[inseg]
+        a = a[:end]
+    else:
+        is_stuff = is_rst = np.zeros(0, dtype=bool)
+    # remove the 0x00 after each stuffed 0xFF, and both RST marker bytes
+    drop = np.concatenate((ff[is_stuff] + 1, ff[is_rst], ff[is_rst] + 1))
+    keep = np.ones(len(a), dtype=bool)
+    keep[drop[drop < len(a)]] = False
+    kept = a[keep]
+    # split points: RST positions mapped into the kept coordinate space
+    csum = np.concatenate(([0], np.cumsum(keep)))
+    cuts = csum[ff[is_rst]].astype(np.int64)
+    return [s for s in np.split(kept, cuts)]
 
 
 def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
@@ -573,35 +590,67 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
 
     segments = _entropy_segments(data, pos)
     seg_idx = 0
-    br = _BitReader(segments[0])
+    # hot loop: plain-Python bit reader over `bytes` with list LUTs —
+    # numpy scalar extraction per symbol costs ~5x a bytes index
+    ent = segments[0].tobytes() + b"\x00\x00\x00\x00"
+    bitpos = 0
     prev_dc = [0] * len(scan)
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
-            br = _BitReader(segments[seg_idx])
+            ent = segments[seg_idx].tobytes() + b"\x00\x00\x00\x00"
+            bitpos = 0
             prev_dc = [0] * len(scan)
         for si, sc in enumerate(scan):
-            dc_lut, ac_lut = sc["dc_lut"], sc["ac_lut"]
+            dc_lut = sc["dc_lut"]
+            ac_lut = sc["ac_lut"]
+            coeffs = sc["coeffs"]
             for _ in range(sc["nblk"]):
-                zz = np.zeros(64, dtype=np.int64)
-                entry = int(dc_lut[br.peek16()])
+                zz = [0] * 64
+                byte, off = divmod(bitpos, 8)
+                window = (
+                    (ent[byte] << 24)
+                    | (ent[byte + 1] << 16)
+                    | (ent[byte + 2] << 8)
+                    | ent[byte + 3]
+                ) >> (16 - off)
+                entry = dc_lut[window & 0xFFFF]
                 size, length = entry >> 8, entry & 0xFF
                 if length == 0:
                     raise ValueError("invalid DC Huffman code")
-                br.skip(length)
-                diff = _extend(br.take(size), size) if size else 0
-                prev_dc[si] += diff
+                bitpos += length
+                if size:
+                    byte, off = divmod(bitpos, 8)
+                    window = (
+                        (ent[byte] << 24)
+                        | (ent[byte + 1] << 16)
+                        | (ent[byte + 2] << 8)
+                        | ent[byte + 3]
+                    ) >> (16 - off)
+                    v = (window & 0xFFFF) >> (16 - size)
+                    bitpos += size
+                    if v < (1 << (size - 1)):
+                        v += 1 - (1 << size)
+                    prev_dc[si] += v
                 zz[0] = prev_dc[si]
                 kk = 1
                 while kk < 64:
-                    entry = int(ac_lut[br.peek16()])
+                    byte, off = divmod(bitpos, 8)
+                    window = (
+                        (ent[byte] << 24)
+                        | (ent[byte + 1] << 16)
+                        | (ent[byte + 2] << 8)
+                        | ent[byte + 3]
+                    ) >> (16 - off)
+                    entry = ac_lut[window & 0xFFFF]
                     sym, length = entry >> 8, entry & 0xFF
                     if length == 0:
                         raise ValueError("invalid AC Huffman code")
-                    br.skip(length)
+                    bitpos += length
                     if sym == 0x00:  # EOB
                         break
-                    run, size = sym >> 4, sym & 0xF
+                    run = sym >> 4
+                    size = sym & 0xF
                     if size == 0:
                         if run == 15:  # ZRL: exactly 16 zeros
                             kk += 16
@@ -610,16 +659,29 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
                     kk += run
                     if kk > 63:
                         raise ValueError("AC coefficient index out of range")
-                    zz[kk] = _extend(br.take(size), size)
+                    byte, off = divmod(bitpos, 8)
+                    window = (
+                        (ent[byte] << 24)
+                        | (ent[byte + 1] << 16)
+                        | (ent[byte + 2] << 8)
+                        | ent[byte + 3]
+                    ) >> (16 - off)
+                    v = (window & 0xFFFF) >> (16 - size)
+                    bitpos += size
+                    if v < (1 << (size - 1)):
+                        v += 1 - (1 << size)
+                    zz[kk] = v
                     kk += 1
-                sc["coeffs"].append(zz)
+                coeffs.append(zz)
 
     # batched per-image dequant + IDCT + assembly per component
     planes = []
     for sc in scan:
         c = sc["comp"]
         q = quant[c["tq"]]
-        blocks = np.stack(sc["coeffs"])[:, _UNZIGZAG].reshape(-1, 8, 8)
+        blocks = np.array(sc["coeffs"], dtype=np.int64)[:, _UNZIGZAG].reshape(
+            -1, 8, 8
+        )
         coeff = blocks.astype(np.float64) * q[None, :, :]
         spatial = _D8.T @ coeff @ _D8 + 128.0
         # reassemble the component's sampling grid MCU by MCU
