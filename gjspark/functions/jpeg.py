@@ -427,41 +427,9 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
-class _BitReader:
-    """Reader over the UNSTUFFED entropy bytes with a 16-bit peek."""
-
-    def __init__(self, data: np.ndarray) -> None:
-        # pad so a 32-bit window is always readable
-        self.buf = np.concatenate([data, np.zeros(4, dtype=np.uint8)])
-        self.pos = 0  # bit position
-
-    def peek16(self) -> int:
-        byte, off = divmod(self.pos, 8)
-        b = self.buf
-        window = (
-            (int(b[byte]) << 24)
-            | (int(b[byte + 1]) << 16)
-            | (int(b[byte + 2]) << 8)
-            | int(b[byte + 3])
-        )
-        return (window >> (16 - off)) & 0xFFFF
-
-    def take(self, n: int) -> int:
-        v = self.peek16() >> (16 - n) if n else 0
-        self.pos += n
-        return v
-
-    def skip(self, n: int) -> None:
-        self.pos += n
-
-
-def _extend(v: int, size: int) -> int:
-    """T.81 F.2.2.1 EXTEND: decode magnitude bits to a signed value."""
-    if size == 0:
-        return 0
-    if v < (1 << (size - 1)):
-        return v - (1 << size) + 1
-    return v
+# (The T.81 F.2.2.1 EXTEND step — v - 2^size + 1 when v is below the
+# sign threshold — is inlined in the _decode_scan hot loop, as is the
+# 16-bit bit-window peek over the unstuffed entropy bytes.)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
