@@ -433,7 +433,20 @@ def encode_jpeg(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB."""
+    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB.
+
+    Malformed or truncated input always raises ``ValueError`` — the raw
+    parser hits ``struct.error`` / ``IndexError`` / ``KeyError`` on cut
+    streams and missing table ids, and letting those escape would abort a
+    whole Arrow batch at the mapInPandas call sites (which catch only
+    ``(NotImplementedError, ValueError)``)."""
+    try:
+        return _decode_jpeg(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     quant: dict[int, np.ndarray] = {}

@@ -284,7 +284,12 @@ def _normalize_ascii_batch(texts: list[str], k: int):
     low = np.where(ws, np.uint8(32), low)
     prev = np.concatenate(([False], ws[:-1]))
     if len(prev):
-        prev[offs0[:-1].clip(max=len(prev) - 1)] = False
+        # Reset the run-collapse carry at each doc boundary. A trailing
+        # empty doc puts len(buf) in offs0[:-1]; that boundary has no byte
+        # to reset, so drop it (clipping it would wrongly clear the carry
+        # on the buffer's LAST byte and leave a trailing run uncollapsed).
+        idx = offs0[:-1]
+        prev[idx[idx < len(prev)]] = False
     keep = ~(ws & prev)
     buf1 = low[keep]
     csum = np.concatenate(([0], np.cumsum(keep)))

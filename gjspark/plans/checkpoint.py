@@ -77,9 +77,27 @@ def read_checkpointed(spark, out_dir: str) -> DataFrame:
     if not os.path.exists(mp):
         raise FileNotFoundError(f"no manifest at {mp}")
     m = pq.read_table(mp).to_pandas()
-    ok = m[m["status"] == "ok"]
+    ok = _with_file_column(m)[m["status"] == "ok"]
+    if not len(ok):
+        raise ValueError(
+            f"manifest at {mp} has no status='ok' partitions — nothing to read"
+        )
     files = [os.path.join(out_dir, f) for f in ok["file"].tolist()]
     return spark.read.parquet(*files)
+
+
+def _with_file_column(m: pd.DataFrame) -> pd.DataFrame:
+    """Backfill the 'file' column for manifests written before it existed
+    (or rows carrying null after a mixed-version resume concat): rename-mode
+    part names are deterministic, ``part={part_id}.parquet``."""
+    m = m.copy()
+    fallback = "part=" + m["part_id"].astype(int).astype(str) + ".parquet"
+    if "file" not in m.columns:
+        m["file"] = fallback
+    else:
+        missing = m["file"].isna()
+        m.loc[missing, "file"] = fallback[missing]
+    return m
 
 
 def completed_parts(out_dir: str) -> set[int]:
@@ -212,7 +230,9 @@ def checkpointed_write(
 
     mp = manifest_path(out_dir)
     if resume and os.path.exists(mp):
-        old = pq.read_table(mp).to_pandas()
+        # backfill 'file' so a pre-'file'-column manifest never injects
+        # NaN rows into the merged manifest (os.path.join(dir, nan) later)
+        old = _with_file_column(pq.read_table(mp).to_pandas())
         old = old[~old["part_id"].isin(new_manifest["part_id"])]
         full = pd.concat([old, new_manifest], ignore_index=True)
     else:

@@ -81,6 +81,58 @@ def test_no_double_processing_on_full_rerun(df, tmp_path):
     assert len(_read_all(out)) == 10_000
 
 
+class TestLegacyManifest:
+    """Manifests written before the 'file' column existed must still read
+    and resume: rename-mode names are deterministic part={id}.parquet."""
+
+    def _strip_file_column(self, out):
+        import pyarrow as pa
+
+        from gjspark.plans import checkpoint as CP
+
+        mp = CP.manifest_path(out)
+        m = pq.read_table(mp).to_pandas().drop(columns=["file"])
+        pq.write_table(pa.Table.from_pandas(m, preserve_index=False), mp)
+
+    def test_read_falls_back_to_deterministic_names(self, df, tmp_path):
+        from gjspark.plans import checkpoint as CP
+
+        out = str(tmp_path / "leg1")
+        CP.checkpointed_write(df, out, "j", id_col="image_id", n_parts=8)
+        self._strip_file_column(out)
+        body = CP.read_checkpointed(df.sparkSession, out).toPandas()
+        assert len(body) == 10_000
+
+    def test_resume_over_legacy_manifest_has_no_nan_files(self, df, tmp_path):
+        from gjspark.plans import checkpoint as CP
+
+        out = str(tmp_path / "leg2")
+        part_col = F.pmod(F.xxhash64(F.col("image_id")), F.lit(8)).cast("int")
+        CP.checkpointed_write(
+            df.filter(part_col < 4), out, "j", id_col="image_id", n_parts=8
+        )
+        self._strip_file_column(out)
+        full = CP.checkpointed_write(df, out, "j", id_col="image_id", n_parts=8)
+        assert sorted(full["part_id"]) == list(range(8))
+        assert full["file"].notna().all()
+        body = CP.read_checkpointed(df.sparkSession, out).toPandas()
+        assert len(body) == 10_000 and body["image_id"].is_unique
+
+    def test_empty_ok_set_raises_clearly(self, df, tmp_path):
+        from gjspark.plans import checkpoint as CP
+
+        out = str(tmp_path / "leg3")
+        CP.checkpointed_write(df, out, "j", id_col="image_id", n_parts=4)
+        import pyarrow as pa
+
+        mp = CP.manifest_path(out)
+        m = pq.read_table(mp).to_pandas()
+        m["status"] = "failed"
+        pq.write_table(pa.Table.from_pandas(m, preserve_index=False), mp)
+        with pytest.raises(ValueError, match="no status='ok'"):
+            CP.read_checkpointed(df.sparkSession, out)
+
+
 class TestUniqueNameCommit:
     """Object-store twin (no atomic rename): parts write straight to
     unique object names; the manifest is the only source of truth and

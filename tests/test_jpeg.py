@@ -148,6 +148,31 @@ class TestErrors:
         with pytest.raises(Exception):
             J.decode_jpeg(b[:6])
 
+    def test_malformed_input_always_raises_valueerror(self):
+        """Every malformed/truncated stream must surface as ValueError —
+        struct.error/IndexError/KeyError escaping decode_jpeg would abort
+        a whole Arrow batch at the mapInPandas call sites, which catch
+        only (NotImplementedError, ValueError)."""
+        b = J.encode_jpeg(_img(16, 16))
+        # truncations at every structural boundary: mid-marker-length
+        # (struct.error), mid-segment and mid-entropy-data (IndexError)
+        # (cutting only the trailing EOI marker is NOT malformed — the
+        # entropy data is complete and decode legitimately succeeds)
+        for cut in (3, 5, 20, 40, 100, len(b) // 2):
+            with pytest.raises(ValueError):
+                J.decode_jpeg(b[:cut])
+        # missing DHT ids (KeyError in the raw parser)
+        nodht = bytearray(b)
+        i = bytes(nodht).find(b"\xff\xc4")
+        nodht[i + 3] ^= 0x0F  # remap the first table to an unused id
+        with pytest.raises(ValueError):
+            J.decode_jpeg(bytes(nodht))
+        # garbage body after a valid SOI
+        with pytest.raises(ValueError):
+            J.decode_jpeg(b"\xff\xd8\xff")
+        with pytest.raises(ValueError):
+            J.decode_jpeg(b"\xff\xd8" + b"\x00" * 64)
+
 
 class TestDispatch:
     def test_registered_in_codec_dispatch(self):

@@ -275,3 +275,25 @@ class TestVectorizedTextKernels:
             assert got["n_fingerprints"][i] == len(p)
             assert got["min_fp"][i] == int(p.min())
             assert got["fp_xor"][i] == int(np.bitwise_xor.reduce(p))
+
+    def test_winnow_batch_trailing_empty_doc_after_trailing_ws(self):
+        """Regression: a trailing EMPTY doc puts len(buf) in the boundary
+        index list; clipping it onto the buffer's last byte used to cancel
+        the run-collapse of a preceding doc's trailing whitespace run, so
+        the same document fingerprinted differently depending on batch
+        composition (partitioning-dependent dedup)."""
+        import pandas as pd
+        from gjspark.operators import text as TX
+
+        doc = "the quick brown fox  "  # >=2 trailing whitespace chars
+        alone = TX._winnow_batch(pd.Series([doc]), 5, 4)
+        batched = TX._winnow_batch(pd.Series([doc, ""]), 5, 4)
+        for col in ("n_fingerprints", "min_fp", "fp_xor"):
+            assert batched[col][0] == alone[col][0]
+        # and several empty/whitespace-only trailers, mixed positions
+        docs = [doc, "", "   ", "", "x  ", ""]
+        got = TX._winnow_batch(pd.Series(docs), 5, 4)
+        for i, d in enumerate(docs):
+            solo = TX._winnow_batch(pd.Series([d]), 5, 4)
+            for col in ("n_fingerprints", "min_fp", "fp_xor"):
+                assert got[col][i] == solo[col][0], (i, d, col)
