@@ -197,6 +197,65 @@ def _build_decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     return out
 
 
+_FAST_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _build_fast_lut(bits: list[int], vals: list[int], is_ac: bool) -> list[int]:
+    """Combined code+value 16-bit peek LUT — ONE lookup decodes the Huffman
+    symbol AND its already-EXTENDed coefficient value whenever
+    code_length + value_size <= 16 (true for every short/common symbol).
+
+    Entry layout (positive int): ``(consumed_bits << 20) | (run << 12) |
+    (value + BIAS)`` with BIAS 1024 (AC, |v| <= 1023 at size <= 10) or 2048
+    (DC, |diff| <= 2047 at size <= 11; run field unused). A biased value of
+    exactly BIAS means v == 0, which a real coefficient cannot produce
+    (size >= 1 implies v != 0), so for AC it signals EOB (run 0) / ZRL
+    (run 15). ``0`` = invalid code; ``-1`` = fall back to the two-step
+    decode (code + separate value read — needed when code+size > 16 bits).
+
+    Cached by table content like the plain LUT — real streams reuse the
+    same DHT tables for every image, so construction amortizes to zero.
+    """
+    key = bytes([is_ac]) + bytes(bits) + bytes(vals)
+    cached = _FAST_LUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    bias = 1024 if is_ac else 2048
+    max_size = 10 if is_ac else 11
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            if is_ac:
+                run, size = sym >> 4, sym & 0xF
+            else:
+                run, size = 0, sym
+            if size == 0:
+                if is_ac and run not in (0, 15):
+                    lut[lo:hi] = -1  # invalid zero-size — slow path raises
+                else:  # DC size 0, AC EOB / ZRL: consume the code only
+                    lut[lo:hi] = (length << 20) | (run << 12) | bias
+            elif size <= max_size and length + size <= 16:
+                rem = 16 - length - size
+                vbits = (np.arange(lo, hi, dtype=np.int64) >> rem) & ((1 << size) - 1)
+                v = np.where(vbits < (1 << (size - 1)), vbits + 1 - (1 << size), vbits)
+                lut[lo:hi] = (
+                    ((length + size) << 20) | (run << 12) | (v + bias)
+                )
+            else:
+                lut[lo:hi] = -1  # code+value spills past the 16-bit peek
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    _FAST_LUT_CACHE[key] = out
+    return out
+
+
 _ENC_TABLES = {
     "dc0": _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
     "ac0": _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -496,7 +555,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                huff_lut[(tc, th)] = _build_decode_lut(bits, vals)
+                huff_lut[(tc, th)] = (
+                    _build_decode_lut(bits, vals),
+                    _build_fast_lut(bits, vals, is_ac=tc == 1),
+                )
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -562,8 +624,10 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
         scan.append(
             {
                 "comp": c,
-                "dc_lut": huff_lut[(0, td)],
-                "ac_lut": huff_lut[(1, ta)],
+                "dc_lut": huff_lut[(0, td)][0],
+                "dc_fast": huff_lut[(0, td)][1],
+                "ac_lut": huff_lut[(1, ta)][0],
+                "ac_fast": huff_lut[(1, ta)][1],
                 "nblk": c["h"] * c["v"],
                 "coeffs": [],
             }
@@ -573,86 +637,105 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
     seg_idx = 0
     # hot loop: plain-Python bit reader over `bytes` with list LUTs —
     # numpy scalar extraction per symbol costs ~5x a bytes index
+    # bit accumulator: `acc` holds the next `nb` stream bits in its low
+    # part (bits above nb are stale garbage, masked out at extraction);
+    # refilling 16 bits at a time keeps nb in [16, 31] at every peek, so
+    # one shift+mask yields the 16-bit LUT window — ~3x fewer byte
+    # indexes than rebuilding a 4-byte window per symbol
     ent = segments[0].tobytes() + b"\x00\x00\x00\x00"
-    bitpos = 0
+    acc = 0
+    nb = 0
+    bp = 0
     prev_dc = [0] * len(scan)
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             seg_idx += 1
             ent = segments[seg_idx].tobytes() + b"\x00\x00\x00\x00"
-            bitpos = 0
+            acc = 0
+            nb = 0
+            bp = 0
             prev_dc = [0] * len(scan)
         for si, sc in enumerate(scan):
-            dc_lut = sc["dc_lut"]
-            ac_lut = sc["ac_lut"]
+            dc_fast = sc["dc_fast"]
+            ac_fast = sc["ac_fast"]
             coeffs = sc["coeffs"]
             for _ in range(sc["nblk"]):
                 zz = [0] * 64
-                byte, off = divmod(bitpos, 8)
-                window = (
-                    (ent[byte] << 24)
-                    | (ent[byte + 1] << 16)
-                    | (ent[byte + 2] << 8)
-                    | ent[byte + 3]
-                ) >> (16 - off)
-                entry = dc_lut[window & 0xFFFF]
-                size, length = entry >> 8, entry & 0xFF
-                if length == 0:
-                    raise ValueError("invalid DC Huffman code")
-                bitpos += length
-                if size:
-                    byte, off = divmod(bitpos, 8)
-                    window = (
-                        (ent[byte] << 24)
-                        | (ent[byte + 1] << 16)
-                        | (ent[byte + 2] << 8)
-                        | ent[byte + 3]
-                    ) >> (16 - off)
-                    v = (window & 0xFFFF) >> (16 - size)
-                    bitpos += size
+                if nb < 16:
+                    acc = ((acc << 16) | (ent[bp] << 8) | ent[bp + 1]) & 0xFFFFFFFF
+                    bp += 2
+                    nb += 16
+                e = dc_fast[(acc >> (nb - 16)) & 0xFFFF]
+                if e > 0:  # one lookup: code + EXTENDed diff
+                    nb -= e >> 20
+                    prev_dc[si] += (e & 0xFFF) - 2048
+                else:
+                    if e == 0:
+                        raise ValueError("invalid DC Huffman code")
+                    # slow path: code+value spill past the 16-bit peek
+                    entry = sc["dc_lut"][(acc >> (nb - 16)) & 0xFFFF]
+                    size, length = entry >> 8, entry & 0xFF
+                    nb -= length
+                    if nb < size:
+                        acc = (
+                            (acc << 16) | (ent[bp] << 8) | ent[bp + 1]
+                        ) & 0xFFFFFFFF
+                        bp += 2
+                        nb += 16
+                    v = (acc >> (nb - size)) & ((1 << size) - 1)
+                    nb -= size
                     if v < (1 << (size - 1)):
                         v += 1 - (1 << size)
                     prev_dc[si] += v
                 zz[0] = prev_dc[si]
                 kk = 1
                 while kk < 64:
-                    byte, off = divmod(bitpos, 8)
-                    window = (
-                        (ent[byte] << 24)
-                        | (ent[byte + 1] << 16)
-                        | (ent[byte + 2] << 8)
-                        | ent[byte + 3]
-                    ) >> (16 - off)
-                    entry = ac_lut[window & 0xFFFF]
-                    sym, length = entry >> 8, entry & 0xFF
-                    if length == 0:
-                        raise ValueError("invalid AC Huffman code")
-                    bitpos += length
-                    if sym == 0x00:  # EOB
-                        break
-                    run = sym >> 4
-                    size = sym & 0xF
-                    if size == 0:
-                        if run == 15:  # ZRL: exactly 16 zeros
+                    if nb < 16:
+                        acc = (
+                            (acc << 16) | (ent[bp] << 8) | ent[bp + 1]
+                        ) & 0xFFFFFFFF
+                        bp += 2
+                        nb += 16
+                    e = ac_fast[(acc >> (nb - 16)) & 0xFFFF]
+                    if e > 0:
+                        nb -= e >> 20
+                        v = (e & 0xFFF) - 1024
+                        if v:
+                            kk += (e >> 12) & 0xF
+                            if kk > 63:
+                                raise ValueError("AC coefficient index out of range")
+                            zz[kk] = v
+                            kk += 1
+                        elif e & 0xF000:  # ZRL: exactly 16 zeros
                             kk += 16
-                            continue
-                        raise ValueError("invalid zero-size AC symbol")
-                    kk += run
-                    if kk > 63:
-                        raise ValueError("AC coefficient index out of range")
-                    byte, off = divmod(bitpos, 8)
-                    window = (
-                        (ent[byte] << 24)
-                        | (ent[byte + 1] << 16)
-                        | (ent[byte + 2] << 8)
-                        | ent[byte + 3]
-                    ) >> (16 - off)
-                    v = (window & 0xFFFF) >> (16 - size)
-                    bitpos += size
-                    if v < (1 << (size - 1)):
-                        v += 1 - (1 << size)
-                    zz[kk] = v
-                    kk += 1
+                        else:  # EOB
+                            break
+                    else:
+                        if e == 0:
+                            raise ValueError("invalid AC Huffman code")
+                        # slow path (rare long code / big value / bad symbol)
+                        entry = sc["ac_lut"][(acc >> (nb - 16)) & 0xFFFF]
+                        sym, length = entry >> 8, entry & 0xFF
+                        nb -= length
+                        run = sym >> 4
+                        size = sym & 0xF
+                        if size == 0:
+                            raise ValueError("invalid zero-size AC symbol")
+                        kk += run
+                        if kk > 63:
+                            raise ValueError("AC coefficient index out of range")
+                        if nb < size:
+                            acc = (
+                                (acc << 16) | (ent[bp] << 8) | ent[bp + 1]
+                            ) & 0xFFFFFFFF
+                            bp += 2
+                            nb += 16
+                        v = (acc >> (nb - size)) & ((1 << size) - 1)
+                        nb -= size
+                        if v < (1 << (size - 1)):
+                            v += 1 - (1 << size)
+                        zz[kk] = v
+                        kk += 1
                 coeffs.append(zz)
 
     # batched per-image dequant + IDCT + assembly per component
@@ -665,19 +748,16 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
         )
         coeff = blocks.astype(np.float64) * q[None, :, :]
         spatial = _D8.T @ coeff @ _D8 + 128.0
-        # reassemble the component's sampling grid MCU by MCU
-        cw_blocks = mcux * c["h"]
-        ch_blocks = mcuy * c["v"]
-        plane = np.empty((ch_blocks * 8, cw_blocks * 8), dtype=np.float64)
-        bi = 0
-        for m in range(n_mcu):
-            my, mx = divmod(m, mcux)
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
-                    bi += 1
+        # reassemble the component's sampling grid: blocks arrive MCU-major
+        # then (by, bx) within the MCU — a pure reshape/transpose, no loop
+        cv, ch = c["v"], c["h"]
+        cw_blocks = mcux * ch
+        ch_blocks = mcuy * cv
+        plane = (
+            spatial.reshape(mcuy, mcux, cv, ch, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(ch_blocks * 8, cw_blocks * 8)
+        )
         # box-upsample to the full-resolution grid
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
