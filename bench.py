@@ -33,15 +33,50 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _BENCH_IMAGES = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 
 
-def _bench_images_path() -> str:
+def _bench_images_path(jpeg: bool = False) -> str:
     from gjspark.fixtures.generator import ensure_bench_images
 
     n_env = os.environ.get("SPARK_GRAFT_BENCH_N")
     if n_env:
-        return ensure_bench_images(int(n_env))
+        return ensure_bench_images(int(n_env), jpeg=jpeg)
     tag = os.path.basename(SF_DIR.rstrip("/"))
     n = _BENCH_IMAGES.get(tag, 20_000)
-    return ensure_bench_images(n)
+    return ensure_bench_images(n, jpeg=jpeg)
+
+
+# Quiet-window calibration probe (VERDICT r4 item 5): committed band for
+# three sub-second relational queries whose code is stable round over
+# round (BENCH/BASELINE.md "same-binary full-bench variance", runs 1-2).
+# A noisy co-tenant window inflates EVERY stage on this shared host ~30-45%
+# including these — so their deviation is a cheap noise meter.
+_PROBE_BAND = {
+    "q_pricing_summary": 0.29,
+    "q_revenue_by_nation": 0.36,
+    "q_latest_event_per_user": 0.30,
+}
+_PROBE_NOISY_RATIO = 1.2
+
+
+def _noise_probe(spark, qs) -> dict:
+    """min-of-3 on the probe queries -> {'ratio': geomean vs band, 'verdict'}."""
+    import math
+
+    times = {}
+    for _ in range(3):
+        for name in _PROBE_BAND:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            times[name] = min(times.get(name, 1e18), time.time() - t0)
+    ratio = math.exp(
+        sum(math.log(max(times[n], 1e-3) / _PROBE_BAND[n]) for n in _PROBE_BAND)
+        / len(_PROBE_BAND)
+    )
+    return {
+        "times": {k: round(v, 3) for k, v in times.items()},
+        "band": _PROBE_BAND,
+        "ratio": round(ratio, 3),
+        "verdict": "noisy" if ratio > _PROBE_NOISY_RATIO else "quiet",
+    }
 
 
 def _spatial_dfs(spark, images_path):
@@ -76,15 +111,31 @@ def _spatial_dfs(spark, images_path):
 
 
 def run_bench(
-    master: str | None = None, spatial_only: bool = False, reps: int = 1
+    master: str | None = None,
+    spatial_only: bool = False,
+    reps: int = 1,
+    legs: str = "both",
 ) -> dict:
+    """``legs``: which image corpus drives the spatial stages.
+
+    - ``"both"`` (default, what the driver records): the jpeg-bearing
+      5-format corpus is the PRIMARY leg — its numbers are the quoted
+      cells/decode_fused/... timings, so the headline pays the
+      real-corpus JPEG decode cost — and the legacy 4-format corpus runs
+      its decode-dependent stages as a ``legacy_leg`` side report for
+      round-over-round continuity (kept one more round, VERDICT r4 #1).
+    - ``"jpeg"`` / ``"legacy"``: that single corpus only (scaling sweeps
+      pass ``legacy`` this round so the sweep stays comparable to r3/r4).
+    """
     from pyspark.sql import functions as F
 
     from gjspark.fixtures.generator import ensure_fixtures
     from gjspark.session import get_spark
 
     ensure_fixtures()
-    images_path = _bench_images_path()
+    primary_jpeg = legs in ("both", "jpeg")
+    primary_path = _bench_images_path(jpeg=primary_jpeg)
+    legacy_path = _bench_images_path(jpeg=False) if legs == "both" else None
     master = master or f"local[{CPUS}]"
     n_threads = int(master.split("[")[1].rstrip("]"))
     spark = get_spark(
@@ -92,13 +143,14 @@ def run_bench(
         master=master,
         shuffle_partitions=max(2 * n_threads, 16),
     )
-    d = _spatial_dfs(spark, images_path)
+    d = _spatial_dfs(spark, primary_path)
     images = d["images"].persist()
     n_images = images.count()  # warm: parquet scan + cell UDF boundary
 
     # Fused pipeline: ONE decode pass per rep materializes the persisted
-    # features frame (stats + 3KB thumbs); rollup and mosaic are then pure
-    # aggregations over it — the suite decodes the corpus exactly once.
+    # features frame (stats + losslessly-compressed thumbs); rollup and
+    # mosaic are then pure aggregations over it — the suite decodes the
+    # corpus exactly once.
     state: dict = {}
 
     def stage_decode():
@@ -134,6 +186,20 @@ def run_bench(
         fs.unpersist()
         small.unpersist()
 
+    probe = None
+    if not spatial_only:
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        # quiet-window calibration BEFORE the heavy stages; if the host is
+        # noisy, settle briefly and re-probe once so the recorded artifact
+        # carries an honest verdict either way (VERDICT r4 item 5)
+        probe = _noise_probe(spark, qs)
+        if probe["verdict"] == "noisy":
+            time.sleep(30)
+            again = _noise_probe(spark, qs)
+            probe = {"first": probe, "retry": again, **again}
+
     timings: dict[str, float] = {}
     for _ in range(reps):
         for name, fn in stages.items():
@@ -144,10 +210,41 @@ def run_bench(
 
     spatial_sec = sum(timings.values())
 
-    if not spatial_only:
-        import __spark_entry__ as E
+    legacy_leg = None
+    if legacy_path is not None:
+        from gjspark.operators.cells import with_cell_columns
 
-        qs = E.queries()
+        limg = with_cell_columns(
+            spark.read.parquet(legacy_path).repartition(128)
+        ).persist()
+        limg.count()
+        lstate: dict = {}
+
+        def legacy_decode():
+            if "feat" in lstate:
+                lstate["feat"].unpersist()
+            f = d["decoded_features"](limg).persist()
+            f.agg(F.sum("pix_crc32")).collect()
+            lstate["feat"] = f
+
+        lstages = {
+            "decode_fused": legacy_decode,
+            "tile_rollup": lambda: d["rollup"](lstate["feat"]).collect(),
+            "mosaic": lambda: d["mosaic"](lstate["feat"]).count(),
+        }
+        legacy_leg = {}
+        for _ in range(reps):
+            for name, fn in lstages.items():
+                t0 = time.time()
+                fn()
+                legacy_leg[name] = min(
+                    legacy_leg.get(name, 1e18), round(time.time() - t0, 3)
+                )
+        if "feat" in lstate:
+            lstate["feat"].unpersist()
+        limg.unpersist()
+
+    if not spatial_only:
         qnames = (
             "q_pricing_summary",
             "q_revenue_by_nation",
@@ -179,7 +276,12 @@ def run_bench(
         "spatial_sec": round(spatial_sec, 3),
         "throughput_rows_per_sec": round(n_images / spatial_sec, 1),
         "master": master,
+        "corpus": "5-format incl. jpeg" if primary_jpeg else "legacy 4-format",
     }
+    if legacy_leg is not None:
+        result["legacy_leg"] = legacy_leg
+    if probe is not None:
+        result["noise_probe"] = probe
     if "feat" in state:
         state["feat"].unpersist()
     images.unpersist()
@@ -222,6 +324,11 @@ def run_scaling(
                 "--spatial-only",
                 "--reps",
                 str(reps),
+                # legacy 4-format corpus: keeps the r5 sweep comparable to
+                # the r3/r4 round-over-round tables (the jpeg-leg 500k
+                # local[32] evidence is recorded separately in BASELINE.md)
+                "--legs",
+                "legacy",
             ],
             capture_output=True,
             text=True,
@@ -315,6 +422,7 @@ if __name__ == "__main__":
     # VM swing 2-10x (cold page cache + co-tenant noise); the second rep
     # measures steady state and min-of-reps is what BASELINE.md reports
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--legs", choices=("both", "jpeg", "legacy"), default="both")
     args = p.parse_args()
     if args.scaling:
         run_scaling()
@@ -325,4 +433,8 @@ if __name__ == "__main__":
             raw_json="scaling_raw_2m.json",
         )
     else:
-        print(json.dumps(run_bench(args.master, args.spatial_only, args.reps)))
+        print(
+            json.dumps(
+                run_bench(args.master, args.spatial_only, args.reps, args.legs)
+            )
+        )

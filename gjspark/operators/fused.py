@@ -12,12 +12,19 @@ pass per image emitting everything downstream needs:
   :mod:`gjspark.operators.tiling.image_tile_stats` semantics;
 - a per-image rounded uint8 thumbnail (the mosaic partial unit; rounding
   once per image is what makes any grouping of the subsequent integer
-  sums byte-identical — see ``tiling.cell_mosaic``).
+  sums byte-identical — see ``tiling.cell_mosaic``). Stored LOSSLESSLY
+  COMPRESSED (horizontal-delta filter + zlib, the PNG Sub-filter idea
+  without the framing): the 3 KB raw thumb was both the 2M-row persisted
+  frame's memory cliff and the mosaic exchange's dominant bytes
+  (BENCH/SCALING_2M.md bottlenecks 1+2). Compression is exactly
+  invertible, so every mosaic byte is unchanged. On the synthetic
+  gradient corpus the ratio is ~20x; real photographic thumbs compress
+  less (~1.5-3x) — the mechanism, not the ratio, is what transfers.
 
 Downstream, :func:`rollup_from_features` and :func:`mosaic_from_features`
 are pure aggregations over the features frame: persist the features once
 and the whole suite decodes the corpus once. The shuffles carry only
-stat rows / 3 KB thumbs — never encoded image bytes.
+stat rows / compressed thumbs — never encoded image bytes.
 
 Reference analogue: none (the importer re-reads features per operation,
 GeoJsonFeatureList.java); this is the Spark-first redesign the scale
@@ -67,6 +74,31 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 _LUMA = np.array([0.299, 0.587, 0.114])
+
+MOSAIC_SIZE = 32  # thumb edge; fixed by codecs.block_mean_numerators_cf
+
+
+def _compress_thumbs(th_hwc: np.ndarray) -> list[bytes]:
+    """(n, 32, 32, 3) uint8 -> per-row zlib blobs after a horizontal-delta
+    (PNG Sub) filter. The filter is computed for the whole batch in one
+    numpy pass; only the per-row deflate stays in Python. Level 1: the
+    delta stream is mostly zeros/small values, higher levels buy ~10%
+    for 1.5x the CPU."""
+    d = th_hwc.astype(np.int16)
+    d[:, :, 1:, :] -= th_hwc[:, :, :-1, :].astype(np.int16)
+    flat = (d & 0xFF).astype(np.uint8).reshape(len(d), -1)
+    return [zlib.compress(r.tobytes(), 1) for r in flat]
+
+
+def _decompress_thumbs(blobs) -> np.ndarray:
+    """Inverse of :func:`_compress_thumbs` -> (n, 3072) uint8. The
+    un-filter (prefix-sum mod 256 along the width axis) runs once over
+    the whole stacked batch."""
+    filt = np.stack(
+        [np.frombuffer(zlib.decompress(bytes(b)), dtype=np.uint8) for b in blobs]
+    )
+    f = filt.reshape(-1, MOSAIC_SIZE, MOSAIC_SIZE, 3).astype(np.int64)
+    return (np.cumsum(f, axis=2) & 0xFF).astype(np.uint8).reshape(len(filt), -1)
 
 
 def decoded_features(
@@ -162,8 +194,8 @@ def decoded_features(
                 th_hwc = np.ascontiguousarray(
                     t.astype(np.uint8).transpose(0, 2, 3, 1)
                 )
-                for j, k in enumerate(idxs):
-                    thumbs[k] = th_hwc[j].tobytes()
+                for j, k in enumerate(_compress_thumbs(th_hwc)):
+                    thumbs[idxs[j]] = k
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -229,13 +261,14 @@ def mosaic_from_features(
 
     Two plans, byte-identical (integer sums commute; tested):
 
-    - ``combine=False`` (direct): shuffle the 3 KB thumbs by cell, one
-      vectorized merge per partition. A map-side partial is 25 KB of
-      int64 sums, so combining only *reduces* shuffle volume when a
-      partition holds >~8 rows per distinct cell — below that it
-      amplifies the exchange 8x (measured: 61s vs 8s at sf0.1's ~5
-      rows/cell). Hot cells co-locate in one merge task (60 MB for a
-      10%-hot cell at sf0.1 — bounded by corpus share x 3 KB).
+    - ``combine=False`` (direct): shuffle the losslessly-compressed
+      thumbs by cell, one vectorized merge per partition. A map-side
+      partial is 25 KB of raw int64 sums, so with compressed thumbs
+      (~0.15 KB on this synthetic corpus, ~1-2 KB for photographic
+      content) combining only *reduces* shuffle volume when a partition
+      holds >~15-150 rows per distinct cell — below that it amplifies
+      the exchange. Hot cells co-locate in one merge task, now bounded
+      by corpus share x compressed size.
     - ``combine=True``: map-side partial sums per (cell x partition),
       then the tiny merge. Wins at 10^12 scale with res-7 cells, where
       rows per (cell x partition) is large and a hot cell would
@@ -252,7 +285,11 @@ def mosaic_from_features(
             F.count("*").alias("n"), F.approx_count_distinct("cell").alias("c")
         ).first()
         nparts = max(feat.rdd.getNumPartitions(), 1)
-        combine = row["n"] / max(row["c"], 1) / nparts > 8.0
+        # break-even = partial_bytes / compressed_thumb_bytes, which is
+        # corpus-dependent (~15 photographic .. ~150 synthetic); 64 is the
+        # geometric middle. Both plans are byte-identical, so a wrong
+        # choice costs shuffle time, never correctness.
+        combine = row["n"] / max(row["c"], 1) / nparts > 64.0
     if not combine:
         def direct(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cells_l, mats_l = [], []
@@ -261,18 +298,11 @@ def mosaic_from_features(
                 if not mask.any():
                     continue
                 cells_l.append(pdf.loc[mask, "cell"].to_numpy(dtype=np.int64))
-                mats_l.append(
-                    np.stack(
-                        [
-                            np.frombuffer(bytes(t), dtype=np.uint8)
-                            for t in pdf.loc[mask, "thumb"]
-                        ]
-                    )
-                )
+                mats_l.append(_decompress_thumbs(pdf.loc[mask, "thumb"]))
             if not cells_l:
                 return
             cells = np.concatenate(cells_l)
-            mat = np.concatenate(mats_l)  # (n, 3072) uint8 — stays small
+            mat = np.concatenate(mats_l)  # (n, 3072) uint8, decompressed
             order = np.argsort(cells, kind="stable")
             c, m = cells[order], mat[order]
             bounds = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
@@ -311,9 +341,7 @@ def mosaic_from_features(
             if not mask.any():
                 continue
             cells = pdf.loc[mask, "cell"].to_numpy(dtype=np.int64)
-            mat = np.stack(
-                [np.frombuffer(bytes(t), dtype=np.uint8) for t in pdf.loc[mask, "thumb"]]
-            ).astype(np.int64)  # (n, 3072)
+            mat = _decompress_thumbs(pdf.loc[mask, "thumb"]).astype(np.int64)
             # per-batch combine: sort + reduceat (buffered vector adds)
             order = np.argsort(cells, kind="stable")
             c, m = cells[order], mat[order]

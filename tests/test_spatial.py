@@ -244,6 +244,32 @@ def test_fused_pipeline_matches_standalone(images):
         sub.unpersist()
 
 
+def test_thumb_compression_roundtrip_exact():
+    """The delta+zlib thumb transport must be exactly invertible on ANY
+    content — smooth gradients, uniform noise, wraparound-heavy deltas —
+    or mosaic bytes silently drift."""
+    from gjspark.operators.fused import _compress_thumbs, _decompress_thumbs
+
+    rng = np.random.default_rng(11)
+    batch = np.stack(
+        [
+            rng.integers(0, 256, (32, 32, 3)),           # pure noise
+            np.zeros((32, 32, 3)),                        # all zero
+            np.full((32, 32, 3), 255),                    # all max
+            np.tile(np.arange(32)[None, :, None] * 8, (32, 1, 3)) % 256,  # ramp
+            np.tile((np.arange(32) % 2)[None, :, None] * 255, (32, 1, 3)),  # alternating (wraparound deltas)
+        ]
+    ).astype(np.uint8)
+    blobs = _compress_thumbs(batch)
+    back = _decompress_thumbs(blobs)
+    assert np.array_equal(back, batch.reshape(len(batch), -1))
+    # order-independence: decompressing a permuted subset matches
+    sub = [blobs[4], blobs[0], blobs[2]]
+    assert np.array_equal(
+        _decompress_thumbs(sub), batch[[4, 0, 2]].reshape(3, -1)
+    )
+
+
 def test_large_image_tile_sums_exact(spark):
     """Images past the float32 exactness bound (h*w*765 >= 2^24, i.e.
     >= ~149x149) must switch the integral image to float64 so tile sums
