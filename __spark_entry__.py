@@ -615,16 +615,18 @@ def q_audio(spark, sf_dir):
 
 def _minhash_oracle_sql(threshold: float = 0.5) -> str:
     """DuckDB twin of minhash_lsh_pairs: same polynomial shingle hash
-    (uint64-wraparound constants), same 64 (a,b) permutation params
+    (uint64-wraparound constants), same 128 (a,b) permutation params
     (generated from the identical numpy call), banding by exact
-    signature-slice equality, exact shingle-set Jaccard verify. A second
-    full implementation of the pipeline, in SQL."""
+    signature-slice equality, the same >=2 band-collision prefilter
+    (HAVING count(*) >= 2 — deterministic, so exactly mirrorable), exact
+    shingle-set Jaccard verify. A second full implementation of the
+    pipeline, in SQL."""
     from gjspark.operators.dedup import _MERSENNE, _POLY_BASE, _minhash_params
 
-    a, b = _minhash_params(64)
+    a, b = _minhash_params(128)
     W = 1 << 64
     P = [pow(int(_POLY_BASE), i, W) for i in range(5)]
-    perms = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(64))
+    perms = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(128))
     return f"""
 WITH norm AS (
   SELECT doc_id,
@@ -656,9 +658,10 @@ bands AS (
   FROM sig GROUP BY doc_id, j // 4
 ),
 cand AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l JOIN bands r
     ON l.bno = r.bno AND l.bslice = r.bslice AND l.doc_id < r.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
 ),
 sets AS (SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id),
 jac AS (
