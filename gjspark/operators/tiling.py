@@ -307,8 +307,8 @@ def cell_mosaic(
     shuffle key is the cell — exactly where hot-cell skew bites (the
     fixture plants ~10% of all images in one cell). The explicit salt
     ``pmod(xxhash64(image_id), n_salt)`` (histogram-driven, §salt_map)
-    splits hot cells across ``n_salt`` tasks; each (cell, salt) group
-    computes an integer pixel-sum partial, and a second tiny
+    splits hot cells across ``n_salt`` tasks; each task computes per-cell
+    integer pixel-sum partials for its partition, and a second tiny
     ``groupBy(cell)`` merge adds the partials. Integer accumulation makes
     salted output byte-identical to unsalted (tested) — float means would
     not commute.
@@ -326,30 +326,21 @@ def cell_mosaic(
         )
     )
 
-    def partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros((MOSAIC_SIZE, MOSAIC_SIZE, 3), dtype=np.int64)
-        n = 0
-        by_shape: dict[tuple, list[np.ndarray]] = {}
-        for b, f in zip(pdf["bytes"], pdf["fmt"]):
-            try:
-                img = C.decode_image(bytes(b), f)
-            except (ValueError, NotImplementedError):
-                continue
-            by_shape.setdefault(img.shape, []).append(img)
-        for shape, imgs in by_shape.items():
-            # exact integer thumbs (codecs.resize_rgb_exact): rounding once
-            # per image + integer sums keep the per-cell total independent
-            # of salt grouping AND of the batch the image landed in
-            th = C.resize_rgb_exact(np.stack(imgs), MOSAIC_SIZE)
-            acc += th.astype(np.int64).sum(axis=0).transpose(1, 2, 0)
-            n += len(imgs)
-        return pd.DataFrame(
-            [{"cell": key[0], "n": n, "pix_sum": acc.tobytes()}]
-        )
-
-    partials = imgs.repartition(F.col("cell"), F.col("salt")).groupBy(
-        "cell", "salt"
-    ).applyInPandas(lambda key, pdf: partial(key, pdf), _MOSAIC_PARTIAL_SCHEMA)
+    # one mapInPandas call per PARTITION (not per (cell, salt) group —
+    # groupBy().applyInPandas pays one Python round-trip per group, the
+    # dominant cost at ~15k tiny cells). repartition by (cell, salt)
+    # still splits a hot cell across n_salt tasks; per-cell integer
+    # partials within each partition commute, so output is
+    # byte-identical. EXPLICIT partition count: an unnumbered
+    # repartition(col) invites AQE's 64 MB-advisory coalescing to
+    # squeeze this image-bytes exchange into a handful of fat
+    # partitions and idle the cluster through the decode stage.
+    n_parts = max(8 * images.sparkSession.sparkContext.defaultParallelism, 64)
+    partials = (
+        imgs.repartition(n_parts, F.col("cell"), F.col("salt"))
+        .select("cell", "bytes", "fmt")
+        .mapInPandas(_decode_partials, _MOSAIC_PARTIAL_SCHEMA)
+    )
 
     return _merge_mosaic_partials(partials)
 
@@ -367,42 +358,47 @@ def cell_mosaic_mapcombine(
     where a single *partition* would still hold too many distinct cells'
     worth of partials.
     """
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[int, np.ndarray] = {}
-        cnt: dict[int, int] = {}
-        for pdf in batches:
-            by_shape: dict[tuple, tuple[list, list]] = {}
-            for cell, b, f in zip(pdf["cell"], pdf["bytes"], pdf["fmt"]):
-                try:
-                    img = C.decode_image(bytes(b), f)
-                except (ValueError, NotImplementedError):
-                    continue
-                grp = by_shape.setdefault(img.shape, ([], []))
-                grp[0].append(img)
-                grp[1].append(int(cell))
-            for shape, (imgs, cells) in by_shape.items():
-                thumbs = C.resize_rgb_exact(np.stack(imgs), MOSAIC_SIZE).astype(
-                    np.int64
-                )  # (n, 3, 32, 32)
-                for t, cell in zip(thumbs, cells):
-                    if cell not in acc:
-                        acc[cell] = np.zeros(
-                            (MOSAIC_SIZE, MOSAIC_SIZE, 3), dtype=np.int64
-                        )
-                        cnt[cell] = 0
-                    acc[cell] += t.transpose(1, 2, 0)
-                    cnt[cell] += 1
-        if acc:
-            yield pd.DataFrame(
-                {
-                    "cell": list(acc.keys()),
-                    "n": [cnt[c] for c in acc],
-                    "pix_sum": [acc[c].tobytes() for c in acc],
-                }
-            )
-
     parts = images.select(
         F.col(cell_col).alias("cell"), "bytes", "fmt"
-    ).mapInPandas(partials, _MOSAIC_PARTIAL_SCHEMA)
+    ).mapInPandas(_decode_partials, _MOSAIC_PARTIAL_SCHEMA)
 
     return _merge_mosaic_partials(parts)
+
+
+def _decode_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode a partition's images and emit per-cell integer thumb-sum
+    partials (one row per distinct cell in the partition). Shared by the
+    map-combine plan and the salted plan (which pre-partitions by
+    (cell, salt) so a hot cell spans n_salt tasks)."""
+    acc: dict[int, np.ndarray] = {}
+    cnt: dict[int, int] = {}
+    for pdf in batches:
+        by_shape: dict[tuple, tuple[list, list]] = {}
+        for cell, b, f in zip(pdf["cell"], pdf["bytes"], pdf["fmt"]):
+            try:
+                img = C.decode_image(bytes(b), f)
+            except (ValueError, NotImplementedError):
+                continue
+            grp = by_shape.setdefault(img.shape, ([], []))
+            grp[0].append(img)
+            grp[1].append(int(cell))
+        for shape, (imgs, cells) in by_shape.items():
+            thumbs = C.resize_rgb_exact(np.stack(imgs), MOSAIC_SIZE).astype(
+                np.int64
+            )  # (n, 3, 32, 32)
+            for t, cell in zip(thumbs, cells):
+                if cell not in acc:
+                    acc[cell] = np.zeros(
+                        (MOSAIC_SIZE, MOSAIC_SIZE, 3), dtype=np.int64
+                    )
+                    cnt[cell] = 0
+                acc[cell] += t.transpose(1, 2, 0)
+                cnt[cell] += 1
+    if acc:
+        yield pd.DataFrame(
+            {
+                "cell": list(acc.keys()),
+                "n": [cnt[c] for c in acc],
+                "pix_sum": [acc[c].tobytes() for c in acc],
+            }
+        )

@@ -17,8 +17,12 @@ from gjspark.sources.geojson import read_feature_collection
 
 @pytest.fixture(scope="module")
 def images(spark, fixtures_dir):
+    # single-file parquet = ONE input split: without the repartition every
+    # decode-heavy operator in this module serializes on one core (~30-55s
+    # per test). All kernels are partitioning-independent (bit-exactness
+    # is itself under test), so fanning out changes timing only.
     df = with_cell_columns(
-        spark.read.parquet(f"{fixtures_dir}/images_sf_e2e.parquet")
+        spark.read.parquet(f"{fixtures_dir}/images_sf_e2e.parquet").repartition(64)
     ).cache()
     df.count()
     return df
@@ -84,7 +88,7 @@ def test_knn_cellwise_variant_matches_golden(images, locations, fixtures_dir):
     from gjspark.operators.spatial_join import knn_join_cellwise
 
     got = (
-        knn_join_cellwise(images.limit(5000), locations)
+        knn_join_cellwise(images.limit(5000).repartition(32), locations)
         .toPandas()
         .sort_values("image_id")
         .reset_index(drop=True)
@@ -168,14 +172,17 @@ def test_tiling_counts_match_pixel_math(images):
 def test_mosaic_mapcombine_equals_salted(images):
     from gjspark.operators.tiling import cell_mosaic, cell_mosaic_mapcombine
 
+    # limit() collapses to one partition — fan back out so the decode
+    # parallelizes (plan-shape parity is unaffected; cached frame)
+    sub = images.limit(8000).repartition(32).cache()
     a = (
-        cell_mosaic(images.limit(8000), target_rows_per_salt=500)
+        cell_mosaic(sub, target_rows_per_salt=500)
         .toPandas()
         .sort_values("cell")
         .reset_index(drop=True)
     )
     b = (
-        cell_mosaic_mapcombine(images.limit(8000))
+        cell_mosaic_mapcombine(sub)
         .toPandas()
         .sort_values("cell")
         .reset_index(drop=True)
@@ -196,7 +203,7 @@ def test_fused_pipeline_matches_standalone(images):
     )
     from gjspark.operators.tiling import cell_mosaic_mapcombine
 
-    sub = images.limit(6000).cache()
+    sub = images.limit(6000).repartition(32).cache()
     feat = decoded_features(sub).cache()
     try:
         # decode stats parity (crc32 / phash / luma / flags)
