@@ -91,14 +91,15 @@ def _compress_thumbs(th_hwc: np.ndarray) -> list[bytes]:
 
 
 def _decompress_thumbs(blobs) -> np.ndarray:
-    """Inverse of :func:`_compress_thumbs` -> (n, 3072) uint8. The
-    un-filter (prefix-sum mod 256 along the width axis) runs once over
-    the whole stacked batch."""
-    filt = np.stack(
-        [np.frombuffer(zlib.decompress(bytes(b)), dtype=np.uint8) for b in blobs]
+    """Inverse of :func:`_compress_thumbs` -> (n, 3072) uint8. One joined
+    buffer (no per-row array objects) and a uint8 prefix sum along the
+    width axis — unsigned overflow IS the mod-256 un-filter, with 8x less
+    memory traffic than an int64 accumulate."""
+    raw = b"".join(zlib.decompress(bytes(b)) for b in blobs)
+    f = np.frombuffer(raw, dtype=np.uint8).reshape(
+        -1, MOSAIC_SIZE, MOSAIC_SIZE, 3
     )
-    f = filt.reshape(-1, MOSAIC_SIZE, MOSAIC_SIZE, 3).astype(np.int64)
-    return (np.cumsum(f, axis=2) & 0xFF).astype(np.uint8).reshape(len(filt), -1)
+    return np.cumsum(f, axis=2, dtype=np.uint8).reshape(len(f), -1)
 
 
 def decoded_features(
