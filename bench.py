@@ -214,6 +214,12 @@ def run_bench(
     if legacy_path is not None:
         from gjspark.operators.cells import with_cell_columns
 
+        # release the primary leg's cached frames first: at 500k rows two
+        # corpora's persisted images would share one heap and evict each
+        # other, inflating the legacy leg 2-4x (cache-thrash, not code)
+        if "feat" in state:
+            state.pop("feat").unpersist()
+        images.unpersist()
         limg = with_cell_columns(
             spark.read.parquet(legacy_path).repartition(128)
         ).persist()

@@ -34,7 +34,7 @@ from gjspark.functions import geometry as G
 from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v14"  # v14: real JPEG rows in the e2e corpus (pure-numpy T.81)
+VERSION = "v15"  # v15: + real WebP-lossless rows (pure-numpy VP8L)
 # bench corpus version: bumps only when BENCH file content changes
 # (v14 added jpeg to the e2e cycle only — bench content is still v13's)
 BENCH_VERSION = "v13"
@@ -172,7 +172,7 @@ W_CYCLE = [16, 32, 64, 128]
 H_CYCLE = [16, 24, 64, 96]
 # e2e/contract corpus exercises the real JPEG codec; the bench corpus
 # keeps the 4-format cycle so round-over-round throughput stays comparable
-FMT_CYCLE = ["ppm", "bmp", "png", "dct", "jpeg"]
+FMT_CYCLE = ["ppm", "bmp", "png", "dct", "jpeg", "webp"]
 FMT_CYCLE_BENCH = ["ppm", "bmp", "png", "dct"]
 
 

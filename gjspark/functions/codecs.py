@@ -281,6 +281,7 @@ def decode_dct(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 from gjspark.functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from gjspark.functions.webp import decode_webp, encode_webp  # noqa: E402
 
 _ENCODERS = {
     "ppm": encode_ppm,
@@ -289,6 +290,7 @@ _ENCODERS = {
     "dct": encode_dct,
     # quality 97 keeps the corpus-wide PSNR >= 40 dB lossy invariant
     "jpeg": lambda img: encode_jpeg(img, 97),
+    "webp": encode_webp,
 }
 _DECODERS = {
     "ppm": decode_ppm,
@@ -297,8 +299,9 @@ _DECODERS = {
     "dct": decode_dct,
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
+    "webp": decode_webp,
 }
-LOSSLESS = {"ppm", "bmp", "png"}
+LOSSLESS = {"ppm", "bmp", "png", "webp"}
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:

@@ -38,10 +38,11 @@ DECODE_STATS_SCHEMA = T.StructType(
     ]
 )
 
-# jpeg/jpg decode is REAL now (gjspark/functions/jpeg.py, pure-numpy
-# baseline T.81); only formats with no from-spec implementation remain
+# jpeg/jpg (gjspark/functions/jpeg.py, pure-numpy baseline T.81) and
+# webp-lossless (gjspark/functions/webp.py, from the public VP8L spec)
+# are REAL now; only formats with no from-spec implementation remain
 # honest environment stubs
-STUB_FORMATS = {"webp", "avif", "mp4", "webm"}
+STUB_FORMATS = {"avif", "mp4", "webm"}
 
 
 def _decode_one(data: bytes, fmt: str) -> np.ndarray:

@@ -114,7 +114,7 @@ def test_decode_invariants(images, fixtures_dir):
     finite = np.isfinite(exp["psnr"].to_numpy())
     assert (exp["psnr"].to_numpy()[finite] >= 40.0).all()
     # phash of decoded lossless pixels == stored phash
-    lossless = stats["fmt"].isin(["ppm", "bmp", "png"]).to_numpy()
+    lossless = stats["fmt"].isin(["ppm", "bmp", "png", "webp"]).to_numpy()
     assert (
         stats["phash_decoded"].to_numpy()[lossless]
         == stats["phash_stored"].to_numpy()[lossless]
