@@ -143,8 +143,22 @@ def run_bench(
         master=master,
         shuffle_partitions=max(2 * n_threads, 16),
     )
+    from pyspark import StorageLevel
+
+    # Blob-bearing frames cache DISK_ONLY on the scratch dir, never on
+    # the JVM heap: the interleaved 2M-vs-500k A/B (scaling_pair_r5_*.json)
+    # measured heap-resident blobs as the residual per-row decode-growth
+    # driver (CPU ratio 1.39 heap / 1.66 uncached re-shuffle / 1.31 disk,
+    # with disk also the best absolute at BOTH sizes). Production never
+    # caches blobs at all (plans/pipeline.py streams them once); the
+    # harness re-reads per rep, so it wants the local-SSD-cache analogue.
+    blob_level = (
+        StorageLevel.MEMORY_AND_DISK
+        if os.environ.get("SPARK_GRAFT_BLOB_CACHE") == "memory"
+        else StorageLevel.DISK_ONLY
+    )
     d = _spatial_dfs(spark, primary_path)
-    images = d["images"].persist()
+    images = d["images"].persist(blob_level)
     n_images = images.count()  # warm: parquet scan + cell UDF boundary
 
     # Fused pipeline: ONE decode pass per rep materializes the persisted
@@ -222,7 +236,7 @@ def run_bench(
         images.unpersist()
         limg = with_cell_columns(
             spark.read.parquet(legacy_path).repartition(128)
-        ).persist()
+        ).persist(blob_level)
         limg.count()
         lstate: dict = {}
 

@@ -88,12 +88,19 @@ def build_pipeline(
     )
 
     loc_points = feature_locations(features)
+    # pip/knn consume only (image_id, lat, lon, cell): build them over a
+    # blob-free projection so callers can cache THAT. Caching the full
+    # frame pins the payload column — ~15x the bytes at any scale — in
+    # storage memory for stages that never read it; the single decode
+    # consumer (rollup) streams blobs straight off the scan instead.
+    slim = images.drop("bytes")
     return {
         "features": features,
         "images": images,
+        "slim": slim,
         "locations": upserted,
-        "pip": pip_join(images, features),
-        "knn": knn_join(images, loc_points),
+        "pip": pip_join(slim, features),
+        "knn": knn_join(slim, loc_points),
         "rollup": cell_tile_rollup(images),
     }
 
@@ -113,7 +120,9 @@ def run_pipeline(
     from gjspark.plans.checkpoint import checkpointed_write
 
     dfs = build_pipeline(spark, images_path, features_path)
-    images = dfs["images"].persist()
+    # cache the blob-free projection (feeds pip + knn); rollup's decode
+    # reads the scan directly — blobs are never held in storage memory
+    cached = dfs["slim"].persist()
     summary = {}
     m = checkpointed_write(
         dfs["pip"],
@@ -143,5 +152,5 @@ def run_pipeline(
         resume=resume,
     )
     summary["rollup_rows"] = int(m["row_count"].sum())
-    images.unpersist()
+    cached.unpersist()
     return summary
