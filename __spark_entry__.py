@@ -602,14 +602,21 @@ def q_audio(spark, sf_dir):
 
     fx = _fixtures()
     auds = spark.read.parquet(f"{fx}/audio_fixture.parquet")
+    # NOT F.round: Spark rounds via BigDecimal HALF_UP on the printed
+    # decimal, DuckDB/numpy round the double — they disagree on exact
+    # halfway cases (e.g. 1043/16000 = 0.0651875). floor(x*1e6 + 0.5)
+    # is the identical IEEE op sequence on both sides (all values >= 0).
+    def r6(c):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(c)
+
     return audio_features(auds.select("audio_id", "bytes", "fmt")).select(
         "audio_id",
         F.col("sample_rate").cast("long").alias("sample_rate"),
         F.col("n_samples").cast("long").alias("n_samples"),
-        F.round("duration_s", 6).alias("duration_s"),
-        F.round("rms", 6).alias("rms"),
-        F.round("peak", 6).alias("peak"),
-        F.round("zero_cross_rate", 6).alias("zero_cross_rate"),
+        r6("duration_s"),
+        r6("rms"),
+        r6("peak"),
+        r6("zero_cross_rate"),
     )
 
 
@@ -1030,7 +1037,7 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS (
               SELECT video_id, fw, fh, n_frames, frame_md5s
               FROM read_parquet('{fx}/videos_fixture.parquet')
-              WHERE fmt = 'rawvid' AND n_frames > 0
+              WHERE fmt IN ('rawvid', 'mp4') AND n_frames > 0
             ),
             picks AS (
               SELECT video_id, fw, fh, n_frames, frame_md5s,
@@ -1067,12 +1074,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT audio_id,
                    any_value(sample_rate)::BIGINT AS sample_rate,
                    count(*)::BIGINT AS n_samples,
-                   round(count(*)::DOUBLE / any_value(sample_rate), 6) AS duration_s,
-                   round(sqrt(avg((v / 32768.0) * (v / 32768.0))), 6) AS rms,
-                   round(max(abs(v / 32768.0)), 6) AS peak,
-                   round(avg(CASE WHEN pv IS NULL THEN NULL
+                   floor(count(*)::DOUBLE / any_value(sample_rate) * 1e6 + 0.5) / 1e6 AS duration_s,
+                   floor(sqrt(avg((v / 32768.0) * (v / 32768.0))) * 1e6 + 0.5) / 1e6 AS rms,
+                   floor(max(abs(v / 32768.0)) * 1e6 + 0.5) / 1e6 AS peak,
+                   floor(avg(CASE WHEN pv IS NULL THEN NULL
                                   WHEN (v < 0) != (pv < 0) THEN 1.0
-                                  ELSE 0.0 END), 6) AS zero_cross_rate
+                                  ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS zero_cross_rate
             FROM u2
             GROUP BY audio_id
         """,

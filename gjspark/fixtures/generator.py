@@ -592,7 +592,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L9"
+LIGHT_VERSION = "L10"  # L10: mp4 rows are real ISO-BMFF (bmff.py) around rawv samples
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -623,8 +623,10 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
     so the DuckDB oracle checks the container decode through an
     independent path. Audios are ``rawpcm`` (RAWA + <II rate,n> + int16
     samples) with the plain ``samples`` list alongside for the SQL twin.
-    A few rows use stub container formats (mp4/webm/mp3) that both sides
-    must skip.
+    mp4 rows are REAL ISO-BMFF containers (functions/bmff.py) wrapping the
+    same deterministic raw-RGB samples, so q_frames exercises the
+    spec-conformant demux path; webm/ogg/mp3 rows stay stub containers
+    (random bytes) that both sides must skip.
     """
     import hashlib
     import struct
@@ -634,11 +636,14 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
         "video_id": [], "fmt": [], "bytes": [],
         "fw": [], "fh": [], "n_frames": [], "frame_md5s": [],
     }
+    from gjspark.functions.bmff import mux_mp4_rawvideo
+
     for i in range(n_videos):
         vid = f"vid-{i:04d}"
-        if i % 12 == 11:
+        if i % 12 == 11 and i % 24 != 11:
+            # webm stays a stub container: random bytes both sides skip
             vids["video_id"].append(vid)
-            vids["fmt"].append("mp4" if i % 24 == 11 else "webm")
+            vids["fmt"].append("webm")
             vids["bytes"].append(rng.integers(0, 256, 64, dtype=np.uint8).tobytes())
             vids["fw"].append(0)
             vids["fh"].append(0)
@@ -652,9 +657,16 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
             rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
             for _ in range(n)
         ]
-        blob = b"RAWV" + struct.pack("<HHH", w, h, n) + b"".join(frames)
+        if i % 24 == 11:
+            # real ISO-BMFF container (functions/bmff.py) around the same
+            # deterministic raw-RGB samples: the mp4 demux path — box tree,
+            # stsd/stts/stsc/stsz/stco sample tables — runs end-to-end
+            fmt, blob = "mp4", mux_mp4_rawvideo(frames, w, h)
+        else:
+            fmt = "rawvid"
+            blob = b"RAWV" + struct.pack("<HHH", w, h, n) + b"".join(frames)
         vids["video_id"].append(vid)
-        vids["fmt"].append("rawvid")
+        vids["fmt"].append(fmt)
         vids["bytes"].append(blob)
         vids["fw"].append(w)
         vids["fh"].append(h)

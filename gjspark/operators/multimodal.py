@@ -167,11 +167,14 @@ def resize_images(images: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
 
 # ---------------------------------------------------------------------------
 # Video frame sampling (training-data pipeline requirement): videos are
-# opaque binary columns; real codecs (mp4/webm) are not in this container,
-# so decode is stubbed behind NotImplementedError, while the Spark-side
-# plumbing — schema, batching, frame selection, output shape — is real and
-# tested against the deterministic 'rawvid' format (header
-# b'RAWV' + uint16 LE (w, h, n_frames) + n_frames raw RGB frames).
+# opaque binary columns. The mp4 CONTAINER layer is real (ISO-BMFF demux
+# from the public ISO/IEC 14496-12 spec, functions/bmff.py) and decodes
+# 'rawv'-entry samples end-to-end; lossy codec payloads (avc1/av01/...)
+# and the other containers (webm/avi/mkv) stay stubbed behind
+# NotImplementedError, while the Spark-side plumbing — schema, batching,
+# frame selection, output shape — is real and tested against both the
+# deterministic 'rawvid' format (header b'RAWV' + uint16 LE (w, h,
+# n_frames) + raw RGB frames) and mp4-wrapped equivalents.
 # ---------------------------------------------------------------------------
 
 FRAMES_SCHEMA = T.StructType(
@@ -185,14 +188,41 @@ FRAMES_SCHEMA = T.StructType(
     ]
 )
 
-VIDEO_STUB_FORMATS = {"mp4", "webm", "avi", "mkv"}
+VIDEO_STUB_FORMATS = {"webm", "avi", "mkv"}
 
 
 def _decode_video(data: bytes, fmt: str):
     """-> (w, h, n_frames, frame_getter). 'rawvid' is the deterministic
-    test codec; container formats raise like the image stubs."""
+    test codec. ``mp4`` demuxes through the real ISO-BMFF container
+    layer (`gjspark/functions/bmff.py`, from the public ISO/IEC
+    14496-12 spec): sample tables are fully parsed and ``rawv``-entry
+    samples (one raw RGB frame each) decode end-to-end; lossy codec
+    payloads (avc1/av01/...) still raise NotImplementedError — the
+    same container-real / codec-stubbed posture as the image formats.
+    Other container formats raise like the image stubs."""
     if fmt in VIDEO_STUB_FORMATS:
         raise NotImplementedError(f"video codec '{fmt}' requires external library")
+    if fmt == "mp4":
+        from gjspark.functions import bmff
+
+        info = bmff.demux_mp4(bytes(data))
+        vtracks = [t for t in info["tracks"] if t.handler == "vide"]
+        if not vtracks:
+            raise ValueError("mp4 has no video track")
+        t = vtracks[0]
+        if t.codec != "rawv":
+            raise NotImplementedError(
+                f"mp4 codec '{t.codec}' requires external library"
+            )
+        frame_bytes = t.width * t.height * 3
+        if any(s != frame_bytes for s in t.sample_sizes):
+            raise ValueError("rawv sample size does not match track dims")
+
+        def get_mp4(i: int) -> bytes:
+            off = t.sample_offsets[i]
+            return bytes(data[off : off + frame_bytes])
+
+        return t.width, t.height, len(t.sample_offsets), get_mp4
     if fmt != "rawvid" or data[:4] != b"RAWV":
         raise ValueError(f"unknown video format {fmt!r}")
     import struct as _struct
