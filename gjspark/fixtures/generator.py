@@ -31,10 +31,11 @@ import pyarrow.parquet as pq
 
 from gjspark.functions import codecs as C
 from gjspark.functions import geometry as G
+from gjspark.functions import gif as gifc
 from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v15"  # v15: + real WebP-lossless rows (pure-numpy VP8L)
+VERSION = "v16"  # v16: + real GIF rows (LZW codec; palettized at source)
 # bench corpus version: bumps only when BENCH file content changes
 # (v14 added jpeg to the e2e cycle only — bench content is still v13's)
 BENCH_VERSION = "v13"
@@ -172,7 +173,7 @@ W_CYCLE = [16, 32, 64, 128]
 H_CYCLE = [16, 24, 64, 96]
 # e2e/contract corpus exercises the real JPEG codec; the bench corpus
 # keeps the 4-format cycle so round-over-round throughput stays comparable
-FMT_CYCLE = ["ppm", "bmp", "png", "dct", "jpeg", "webp"]
+FMT_CYCLE = ["ppm", "bmp", "png", "dct", "jpeg", "webp", "gif"]
 FMT_CYCLE_BENCH = ["ppm", "bmp", "png", "dct"]
 
 
@@ -218,8 +219,13 @@ def make_images_table(n: int, formats: list[str] | None = None):
     imgs = []
     for i in range(n):
         img = make_image(i)
-        imgs.append(img)
         fmt = formats[i % len(formats)]
+        if fmt == "gif":
+            # palette format: the quantized image IS the source of truth
+            # for gif rows (phash/crc/psnr all derive from it), so the
+            # round trip is exact and the row counts as lossless
+            img = gifc.palettize_332(img)
+        imgs.append(img)
         ids.append(f"img-{i:08d}")
         blobs.append(C.encode_image(img, fmt))
         hs.append(img.shape[0])

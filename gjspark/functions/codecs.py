@@ -280,6 +280,7 @@ def decode_dct(data: bytes) -> np.ndarray:
 # dispatch + metrics + phash
 # ---------------------------------------------------------------------------
 
+from gjspark.functions.gif import decode_gif, encode_gif  # noqa: E402
 from gjspark.functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
 from gjspark.functions.webp import decode_webp, encode_webp  # noqa: E402
 
@@ -291,6 +292,9 @@ _ENCODERS = {
     # quality 97 keeps the corpus-wide PSNR >= 40 dB lossy invariant
     "jpeg": lambda img: encode_jpeg(img, 97),
     "webp": encode_webp,
+    # palette format: caller must quantize to <= 256 colors first
+    # (the fixture corpus stores gif rows pre-palettized, see gif.py)
+    "gif": encode_gif,
 }
 _DECODERS = {
     "ppm": decode_ppm,
@@ -300,8 +304,11 @@ _DECODERS = {
     "jpeg": decode_jpeg,
     "jpg": decode_jpeg,
     "webp": decode_webp,
+    "gif": decode_gif,
 }
-LOSSLESS = {"ppm", "bmp", "png", "webp"}
+# gif counts as lossless because its corpus rows are palettized at the
+# source: round trips over <= 256-color input are exact by construction
+LOSSLESS = {"ppm", "bmp", "png", "webp", "gif"}
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gjspark.fixtures import generator as gen
+from gjspark.functions import codecs as C
 from gjspark.operators.cells import with_cell_columns
 from gjspark.operators.multimodal import decode_stats
 from gjspark.operators.spatial_join import knn_join, pip_join
@@ -114,7 +115,7 @@ def test_decode_invariants(images, fixtures_dir):
     finite = np.isfinite(exp["psnr"].to_numpy())
     assert (exp["psnr"].to_numpy()[finite] >= 40.0).all()
     # phash of decoded lossless pixels == stored phash
-    lossless = stats["fmt"].isin(["ppm", "bmp", "png", "webp"]).to_numpy()
+    lossless = stats["fmt"].isin(sorted(C.LOSSLESS)).to_numpy()
     assert (
         stats["phash_decoded"].to_numpy()[lossless]
         == stats["phash_stored"].to_numpy()[lossless]
