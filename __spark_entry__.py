@@ -574,7 +574,8 @@ def q_crs_points(spark, sf_dir):
 
 def q_frames(spark, sf_dir):
     """Video frame sampling (multimodal training-data op): decode the
-    deterministic rawvid container, pick <=4 evenly spaced frames per
+    deterministic rawvid container, real ISO-BMFF mp4 and real animated
+    GIF89a rows, pick <=4 evenly spaced frames per
     clip. The oracle recomputes the sampling arithmetic in SQL over
     per-frame md5s that the fixture generator derived from the SOURCE
     pixel arrays before container encoding — so the container decode is
@@ -595,9 +596,9 @@ def q_frames(spark, sf_dir):
 
 def q_audio(spark, sf_dir):
     """Audio feature extraction (duration/RMS/peak/ZCR) over the
-    deterministic rawpcm container; the oracle recomputes every feature
-    in SQL from the plain int16 sample lists stored alongside the
-    encoded bytes."""
+    deterministic rawpcm container and real RIFF/WAVE PCM16 rows; the
+    oracle recomputes every feature in SQL from the plain int16 sample
+    lists stored alongside the encoded bytes."""
     from gjspark.operators.multimodal import audio_features
 
     fx = _fixtures()
@@ -1037,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS (
               SELECT video_id, fw, fh, n_frames, frame_md5s
               FROM read_parquet('{fx}/videos_fixture.parquet')
-              WHERE fmt IN ('rawvid', 'mp4') AND n_frames > 0
+              WHERE fmt IN ('rawvid', 'mp4', 'gif') AND n_frames > 0
             ),
             picks AS (
               SELECT video_id, fw, fh, n_frames, frame_md5s,
@@ -1059,7 +1060,7 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (
               SELECT audio_id, sample_rate, samples
               FROM read_parquet('{fx}/audio_fixture.parquet')
-              WHERE fmt = 'rawpcm'
+              WHERE fmt IN ('rawpcm', 'wav')
             ),
             u AS (
               SELECT audio_id, sample_rate, unnest(samples) AS v,

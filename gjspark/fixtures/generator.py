@@ -598,7 +598,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L10"  # L10: mp4 rows are real ISO-BMFF (bmff.py) around rawv samples
+LIGHT_VERSION = "L11"  # L11: + animated-GIF video rows and real WAV audio rows
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -631,8 +631,10 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
     samples) with the plain ``samples`` list alongside for the SQL twin.
     mp4 rows are REAL ISO-BMFF containers (functions/bmff.py) wrapping the
     same deterministic raw-RGB samples, so q_frames exercises the
-    spec-conformant demux path; webm/ogg/mp3 rows stay stub containers
-    (random bytes) that both sides must skip.
+    spec-conformant demux path; gif rows are REAL animated GIF89a
+    (functions/gif.py) whose frames are palettized (3-3-2) at the source
+    so LZW+compositing round-trips exactly; webm/ogg/mp3 rows stay stub
+    containers (random bytes) that both sides must skip.
     """
     import hashlib
     import struct
@@ -668,6 +670,19 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
             # deterministic raw-RGB samples: the mp4 demux path — box tree,
             # stsd/stts/stsc/stsz/stco sample tables — runs end-to-end
             fmt, blob = "mp4", mux_mp4_rawvideo(frames, w, h)
+        elif i % 12 == 5:
+            # real animated GIF89a: palettized source frames are the truth
+            # (md5s below hash THESE, an independent check of LZW decode
+            # plus disposal-method compositing in decode_gif_frames)
+            frames = [
+                gifc.palettize_332(
+                    np.frombuffer(f, dtype=np.uint8).reshape(h, w, 3)
+                ).tobytes()
+                for f in frames
+            ]
+            fmt, blob = "gif", gifc.encode_gif_frames(
+                [np.frombuffer(f, dtype=np.uint8).reshape(h, w, 3) for f in frames]
+            )
         else:
             fmt = "rawvid"
             blob = b"RAWV" + struct.pack("<HHH", w, h, n) + b"".join(frames)
@@ -699,9 +714,18 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
         x = amp * np.sin(2 * np.pi * freq * t / rate)
         x += rng.normal(0, 0.02, n)
         s16 = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
-        blob = b"RAWA" + struct.pack("<II", rate, n) + s16.tobytes()
+        if i % 3 == 1:
+            # real RIFF/WAVE PCM16 container (functions/wav.py); the mono
+            # int16 samples are identical to the rawpcm truth list, so the
+            # SQL feature recompute stays bit-for-bit the oracle
+            from gjspark.functions.wav import encode_wav
+
+            fmt_a, blob = "wav", encode_wav(rate, s16.astype(np.int16))
+        else:
+            fmt_a = "rawpcm"
+            blob = b"RAWA" + struct.pack("<II", rate, n) + s16.tobytes()
         auds["audio_id"].append(aid)
-        auds["fmt"].append("rawpcm")
+        auds["fmt"].append(fmt_a)
         auds["bytes"].append(blob)
         auds["sample_rate"].append(rate)
         auds["samples"].append([int(v) for v in s16])

@@ -26,7 +26,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_gif", "decode_gif_frames", "encode_gif", "palettize_332"]
+__all__ = [
+    "decode_gif",
+    "decode_gif_frames",
+    "encode_gif",
+    "encode_gif_frames",
+    "palettize_332",
+]
 
 
 def palettize_332(img: np.ndarray) -> np.ndarray:
@@ -289,11 +295,8 @@ def _lzw_encode(idx: np.ndarray, min_code_size: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(img: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 with <= 256 unique colors -> single-frame GIF89a."""
-    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
-        raise ValueError("encode_gif expects (h, w, 3) uint8")
-    h, w = img.shape[:2]
+def _palette_and_lzw(img: np.ndarray) -> tuple[int, bytes, bytes, int]:
+    """-> (palette size bits, padded palette bytes, LZW blob, min code size)."""
     flat = img.reshape(-1, 3)
     palette, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
@@ -304,15 +307,53 @@ def encode_gif(img: np.ndarray) -> bytes:
     pal = np.zeros((size, 3), dtype=np.uint8)
     pal[: len(palette)] = palette
     mcs = max(2, bits)
+    return bits, pal.tobytes(), _lzw_encode(idx.astype(np.uint8), mcs), mcs
 
-    head = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | (bits - 1), 0, 0])
-    gct = pal.tobytes()
-    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
-    lzw = _lzw_encode(idx.astype(np.uint8), mcs)
+
+def _subblocked(mcs: int, lzw: bytes) -> bytes:
     body = bytearray([mcs])
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         body.append(len(chunk))
         body += chunk
     body.append(0)
-    return head + gct + desc + bytes(body) + b"\x3b"
+    return bytes(body)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with <= 256 unique colors -> single-frame GIF89a."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_gif expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    bits, gct, lzw, mcs = _palette_and_lzw(img)
+    head = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | (bits - 1), 0, 0])
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    return head + gct + desc + _subblocked(mcs, lzw) + b"\x3b"
+
+
+def encode_gif_frames(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """Animated GIF89a: full-canvas opaque frames, each with its own
+    local color table (<= 256 unique colors per frame — caller owns
+    quantization), a graphic-control extension per frame (disposal 1 =
+    leave in place, no transparency) and the NETSCAPE2.0 loop
+    application extension. Because every frame is full-canvas opaque,
+    :func:`decode_gif_frames` composites back exactly the input list —
+    the animated round trip is lossless by construction."""
+    if not frames:
+        raise ValueError("encode_gif_frames needs at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.ndim != 3 or f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("frames must all be (h, w, 3) uint8 of one size")
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h) + bytes([0, 0, 0]))
+    # NETSCAPE2.0 looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        bits, lct, lzw, mcs = _palette_and_lzw(f)
+        # graphic control: disposal 1 (do not dispose), no transparency
+        out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0x80 | (bits - 1)])
+        out += lct
+        out += _subblocked(mcs, lzw)
+    out.append(0x3B)
+    return bytes(out)

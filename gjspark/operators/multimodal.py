@@ -199,9 +199,22 @@ def _decode_video(data: bytes, fmt: str):
     samples (one raw RGB frame each) decode end-to-end; lossy codec
     payloads (avc1/av01/...) still raise NotImplementedError — the
     same container-real / codec-stubbed posture as the image formats.
-    Other container formats raise like the image stubs."""
+    ``gif`` is fully real: animated GIF89a decodes through
+    `gjspark/functions/gif.py` (LZW + disposal compositing), each
+    composited canvas being one frame. Other container formats raise
+    like the image stubs."""
     if fmt in VIDEO_STUB_FORMATS:
         raise NotImplementedError(f"video codec '{fmt}' requires external library")
+    if fmt == "gif":
+        from gjspark.functions.gif import decode_gif_frames
+
+        frames = decode_gif_frames(bytes(data))
+        h, w = frames[0].shape[:2]
+
+        def get_gif(i: int) -> bytes:
+            return frames[i].tobytes()
+
+        return w, h, len(frames), get_gif
     if fmt == "mp4":
         from gjspark.functions import bmff
 
@@ -302,13 +315,20 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-AUDIO_STUB_FORMATS = {"mp3", "ogg", "flac", "wav", "m4a"}
+AUDIO_STUB_FORMATS = {"mp3", "ogg", "flac", "m4a"}
 
 
 def _decode_audio(data: bytes, fmt: str) -> tuple[int, np.ndarray]:
-    """-> (sample_rate, float64 samples in [-1, 1])."""
+    """-> (sample_rate, float64 samples in [-1, 1]). ``wav`` is a real
+    from-spec RIFF/WAVE decoder (`gjspark/functions/wav.py`, PCM +
+    IEEE-float, channels mean-downmixed to mono); lossy codecs stay
+    env stubs."""
     if fmt in AUDIO_STUB_FORMATS:
         raise NotImplementedError(f"audio codec '{fmt}' requires external library")
+    if fmt == "wav":
+        from gjspark.functions.wav import decode_wav_mono
+
+        return decode_wav_mono(bytes(data))
     if fmt != "rawpcm" or data[:4] != b"RAWA":
         raise ValueError(f"unknown audio format {fmt!r}")
     import struct as _struct

@@ -190,3 +190,58 @@ def test_codecs_dispatch():
     blob = C.encode_image(img, "gif")
     assert np.array_equal(C.decode_image(blob, "gif"), img)
     assert "gif" in C.LOSSLESS
+
+
+class TestAnimated:
+    def test_round_trip_full_canvas_frames(self):
+        rng = np.random.default_rng(11)
+        frames = [
+            palettize_332(rng.integers(0, 256, (12, 9, 3), dtype=np.uint8))
+            for _ in range(7)
+        ]
+        blob = GIF.encode_gif_frames(frames, delay_cs=10)
+        out = decode_gif_frames(blob)
+        assert len(out) == 7
+        for a, b in zip(out, frames):
+            assert np.array_equal(a, b)
+        # single-frame API returns the first frame
+        assert np.array_equal(decode_gif(blob), frames[0])
+
+    def test_rejects_mixed_shapes_and_empty(self):
+        a = np.zeros((4, 4, 3), dtype=np.uint8)
+        b = np.zeros((4, 5, 3), dtype=np.uint8)
+        with pytest.raises(ValueError):
+            GIF.encode_gif_frames([a, b])
+        with pytest.raises(ValueError):
+            GIF.encode_gif_frames([])
+
+    def test_video_surface(self, spark):
+        """Animated GIF rows flow through sample_frames next to rawvid
+        rows carrying the same source frames — identical output pixels."""
+        import struct as S
+
+        from gjspark.operators.multimodal import sample_frames
+
+        rng = np.random.default_rng(12)
+        w, h, n = 6, 5, 9
+        frames = [
+            palettize_332(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            for _ in range(n)
+        ]
+        gif_blob = GIF.encode_gif_frames(frames)
+        raw_blob = b"RAWV" + S.pack("<HHH", w, h, n) + b"".join(
+            f.tobytes() for f in frames
+        )
+        df = spark.createDataFrame(
+            [("g1", gif_blob, "gif"), ("r1", raw_blob, "rawvid")],
+            "video_id string, bytes binary, fmt string",
+        )
+        out = sample_frames(df, n_frames=4).toPandas()
+        g = out[out.video_id == "g1"].sort_values("frame_idx").reset_index(drop=True)
+        r = out[out.video_id == "r1"].sort_values("frame_idx").reset_index(drop=True)
+        assert len(g) == 4 and len(r) == 4
+        assert list(g.frame_idx) == list(r.frame_idx)
+        assert (g.fw == w).all() and (g.fh == h).all()
+        assert (g.n_frames_total == n).all()
+        for pg, pr in zip(g.pixels, r.pixels):
+            assert bytes(pg) == bytes(pr)
