@@ -596,9 +596,10 @@ def q_frames(spark, sf_dir):
 
 def q_audio(spark, sf_dir):
     """Audio feature extraction (duration/RMS/peak/ZCR) over the
-    deterministic rawpcm container and real RIFF/WAVE PCM16 rows; the
-    oracle recomputes every feature in SQL from the plain int16 sample
-    lists stored alongside the encoded bytes."""
+    deterministic rawpcm container plus real RIFF/WAVE PCM16 and real
+    FLAC rows (both lossless, same int16 truth lists); the oracle
+    recomputes every feature in SQL from the plain int16 sample lists
+    stored alongside the encoded bytes."""
     from gjspark.operators.multimodal import audio_features
 
     fx = _fixtures()
@@ -1060,7 +1061,7 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (
               SELECT audio_id, sample_rate, samples
               FROM read_parquet('{fx}/audio_fixture.parquet')
-              WHERE fmt IN ('rawpcm', 'wav')
+              WHERE fmt IN ('rawpcm', 'wav', 'flac')
             ),
             u AS (
               SELECT audio_id, sample_rate, unnest(samples) AS v,

@@ -598,7 +598,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L11"  # L11: + animated-GIF video rows and real WAV audio rows
+LIGHT_VERSION = "L12"  # L12: + real FLAC audio rows (L11 added gif video + wav audio)
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -721,6 +721,12 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
             from gjspark.functions.wav import encode_wav
 
             fmt_a, blob = "wav", encode_wav(rate, s16.astype(np.int16))
+        elif i % 3 == 2:
+            # real FLAC (functions/flac.py, RFC 9639): lossless, so the
+            # same int16 truth list drives the SQL recompute
+            from gjspark.functions.flac import encode_flac
+
+            fmt_a, blob = "flac", encode_flac(rate, s16.astype(np.int16))
         else:
             fmt_a = "rawpcm"
             blob = b"RAWA" + struct.pack("<II", rate, n) + s16.tobytes()

@@ -315,20 +315,26 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-AUDIO_STUB_FORMATS = {"mp3", "ogg", "flac", "m4a"}
+AUDIO_STUB_FORMATS = {"mp3", "ogg", "m4a"}
 
 
 def _decode_audio(data: bytes, fmt: str) -> tuple[int, np.ndarray]:
     """-> (sample_rate, float64 samples in [-1, 1]). ``wav`` is a real
     from-spec RIFF/WAVE decoder (`gjspark/functions/wav.py`, PCM +
-    IEEE-float, channels mean-downmixed to mono); lossy codecs stay
-    env stubs."""
+    IEEE-float) and ``flac`` a real from-spec FLAC decoder
+    (`gjspark/functions/flac.py`, RFC 9639: fixed/LPC prediction, Rice
+    residuals, stereo decorrelation, CRC + MD5 checks), both channels
+    mean-downmixed to mono; lossy codecs stay env stubs."""
     if fmt in AUDIO_STUB_FORMATS:
         raise NotImplementedError(f"audio codec '{fmt}' requires external library")
     if fmt == "wav":
         from gjspark.functions.wav import decode_wav_mono
 
         return decode_wav_mono(bytes(data))
+    if fmt == "flac":
+        from gjspark.functions.flac import decode_flac_mono
+
+        return decode_flac_mono(bytes(data))
     if fmt != "rawpcm" or data[:4] != b"RAWA":
         raise ValueError(f"unknown audio format {fmt!r}")
     import struct as _struct
