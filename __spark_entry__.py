@@ -1061,7 +1061,7 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (
               SELECT audio_id, sample_rate, samples
               FROM read_parquet('{fx}/audio_fixture.parquet')
-              WHERE fmt IN ('rawpcm', 'wav', 'flac')
+              WHERE fmt IN ('rawpcm', 'wav', 'flac', 'm4a')
             ),
             u AS (
               SELECT audio_id, sample_rate, unnest(samples) AS v,

@@ -598,7 +598,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L12"  # L12: + real FLAC audio rows (L11 added gif video + wav audio)
+LIGHT_VERSION = "L13"  # L13: + m4a/ipcm audio rows (L11 gif video + wav, L12 flac)
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -714,19 +714,25 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
         x = amp * np.sin(2 * np.pi * freq * t / rate)
         x += rng.normal(0, 0.02, n)
         s16 = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
-        if i % 3 == 1:
+        if i % 4 == 1:
             # real RIFF/WAVE PCM16 container (functions/wav.py); the mono
             # int16 samples are identical to the rawpcm truth list, so the
             # SQL feature recompute stays bit-for-bit the oracle
             from gjspark.functions.wav import encode_wav
 
             fmt_a, blob = "wav", encode_wav(rate, s16.astype(np.int16))
-        elif i % 3 == 2:
+        elif i % 4 == 2:
             # real FLAC (functions/flac.py, RFC 9639): lossless, so the
             # same int16 truth list drives the SQL recompute
             from gjspark.functions.flac import encode_flac
 
             fmt_a, blob = "flac", encode_flac(rate, s16.astype(np.int16))
+        elif i % 4 == 3:
+            # real m4a: ISO-BMFF container around little-endian 'ipcm'
+            # raw PCM (ISO/IEC 23003-5) — exercises the audio demux path
+            from gjspark.functions.bmff import mux_m4a_pcm
+
+            fmt_a, blob = "m4a", mux_m4a_pcm(rate, s16.tobytes())
         else:
             fmt_a = "rawpcm"
             blob = b"RAWA" + struct.pack("<II", rate, n) + s16.tobytes()

@@ -424,3 +424,129 @@ def mux_mp4_rawvideo(
     trak = _box("trak", tkhd + mdia)
     moov = _box("moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+# ---------------------------------------------------------------------------
+# m4a (audio-in-BMFF): raw PCM per ISO/IEC 23003-5 ('ipcm' sample entry
+# with a 'pcmC' configuration box). The container grammar is identical to
+# the video path; only the sample entry and the media-header boxes differ.
+
+
+def mux_m4a_pcm(
+    rate: int,
+    pcm: bytes,
+    channels: int = 1,
+    sample_size: int = 16,
+    frames_per_sample: int = 1024,
+) -> bytes:
+    """Write a single-track m4a whose samples are little-endian raw PCM
+    blocks under an ``ipcm`` AudioSampleEntry + ``pcmC`` config box
+    (ISO/IEC 23003-5). ``pcm`` is the interleaved little-endian payload;
+    one BMFF sample = ``frames_per_sample`` PCM frames (last partial)."""
+    if sample_size % 8 or sample_size not in (16, 24, 32):
+        raise ValueError("sample_size must be 16/24/32")
+    frame_bytes = channels * sample_size // 8
+    if not pcm or len(pcm) % frame_bytes:
+        raise ValueError("pcm length must be a nonzero multiple of the frame size")
+    n_frames = len(pcm) // frame_bytes
+    block = frames_per_sample * frame_bytes
+    sizes = [
+        min(block, len(pcm) - i) for i in range(0, len(pcm), block)
+    ]
+    n = len(sizes)
+
+    ftyp = _box("ftyp", b"M4A " + struct.pack(">I", 512) + b"M4A isom")
+    mdat = _box("mdat", pcm)
+    data_start = len(ftyp) + 8
+
+    timescale = rate
+    duration = n_frames
+    mvhd = _fbox(
+        "mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _fbox(
+        "tkhd", 0, 0x7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100, 0)  # audio: volume 1.0
+        + _UNITY_MATRIX
+        + struct.pack(">II", 0, 0),  # no visual extent
+    )
+    mdhd = _fbox(
+        "mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fbox(
+        "hdlr", 0, 0,
+        struct.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"gjspark ipcm\x00",
+    )
+    # pcmC: format_flags bit0 = little-endian, then PCM sample size
+    pcmc = _fbox("pcmC", 0, 0, bytes([0x01, sample_size]))
+    # AudioSampleEntry 'ipcm'
+    entry = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HH", channels, sample_size)
+        + struct.pack(">HH", 0, 0)  # pre_defined, reserved
+        + struct.pack(">I", rate << 16)  # 16.16 samplerate
+        + pcmc
+    )
+    stsd = _fbox("stsd", 0, 0, struct.pack(">I", 1) + _box("ipcm", entry))
+    # stts in media (frame) units: full blocks + an optional partial tail
+    full = n - 1 if sizes[-1] != block else n
+    runs = b""
+    if full:
+        runs += struct.pack(">II", full, frames_per_sample)
+    if full != n:
+        runs += struct.pack(">II", 1, sizes[-1] // frame_bytes)
+    stts = _fbox(
+        "stts", 0, 0, struct.pack(">I", len(runs) // 8) + runs
+    )
+    stsc = _fbox("stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fbox(
+        "stsz", 0, 0,
+        struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes),
+    )
+    stco = _fbox("stco", 0, 0, struct.pack(">II", 1, data_start))
+    stbl = _box("stbl", stsd + stts + stsc + stsz + stco)
+    smhd = _fbox("smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _fbox("dref", 0, 0, struct.pack(">I", 1) + _fbox("url ", 0, 1, b""))
+    dinf = _box("dinf", dref)
+    minf = _box("minf", smhd + dinf + stbl)
+    mdia = _box("mdia", mdhd + hdlr + minf)
+    trak = _box("trak", tkhd + mdia)
+    moov = _box("moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def parse_pcm_entry(entry_payload: bytes) -> tuple[int, int, int, bool]:
+    """Parse an ``ipcm`` AudioSampleEntry payload (the bytes after the
+    fourcc, as captured in ``Track.sample_entry_payload``) ->
+    (channels, sample_size, rate, little_endian). Requires the
+    ISO/IEC 23003-5 ``pcmC`` configuration child box."""
+    if len(entry_payload) < 28:
+        raise _err("short AudioSampleEntry")
+    channels, entry_bits = struct.unpack_from(">HH", entry_payload, 16)
+    (rate_fixed,) = struct.unpack_from(">I", entry_payload, 24)
+    rate = rate_fixed >> 16
+    for b in parse_boxes(entry_payload, 28, len(entry_payload)):
+        if b.type == "pcmC":
+            _, _, p = _fullbox(entry_payload, b)
+            if p + 2 > b.payload_end:
+                raise _err("short pcmC")
+            flags_fmt = entry_payload[p]
+            size = entry_payload[p + 1]
+            if size not in (16, 24, 32):
+                raise _err(f"unsupported PCM sample size {size}")
+            return channels, size, rate, bool(flags_fmt & 0x01)
+    raise _err("ipcm entry missing pcmC box")

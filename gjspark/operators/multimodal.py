@@ -315,16 +315,18 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
-AUDIO_STUB_FORMATS = {"mp3", "ogg", "m4a"}
+AUDIO_STUB_FORMATS = {"mp3", "ogg"}
 
 
 def _decode_audio(data: bytes, fmt: str) -> tuple[int, np.ndarray]:
     """-> (sample_rate, float64 samples in [-1, 1]). ``wav`` is a real
     from-spec RIFF/WAVE decoder (`gjspark/functions/wav.py`, PCM +
-    IEEE-float) and ``flac`` a real from-spec FLAC decoder
+    IEEE-float), ``flac`` a real from-spec FLAC decoder
     (`gjspark/functions/flac.py`, RFC 9639: fixed/LPC prediction, Rice
-    residuals, stereo decorrelation, CRC + MD5 checks), both channels
-    mean-downmixed to mono; lossy codecs stay env stubs."""
+    residuals, stereo decorrelation, CRC + MD5 checks), and ``m4a``
+    demuxes through the real ISO-BMFF layer with raw-PCM ``ipcm``
+    entries decoding end-to-end; channels mean-downmixed to mono;
+    lossy codecs stay env stubs."""
     if fmt in AUDIO_STUB_FORMATS:
         raise NotImplementedError(f"audio codec '{fmt}' requires external library")
     if fmt == "wav":
@@ -335,6 +337,44 @@ def _decode_audio(data: bytes, fmt: str) -> tuple[int, np.ndarray]:
         from gjspark.functions.flac import decode_flac_mono
 
         return decode_flac_mono(bytes(data))
+    if fmt == "m4a":
+        # real ISO-BMFF demux; raw-PCM 'ipcm' sample entries (ISO/IEC
+        # 23003-5) decode end-to-end, AAC ('mp4a') stays an env stub —
+        # the same container-real / codec-stubbed posture as mp4 video
+        from gjspark.functions import bmff
+
+        info = bmff.demux_mp4(bytes(data))
+        atracks = [t for t in info["tracks"] if t.handler == "soun"]
+        if not atracks:
+            raise ValueError("m4a has no audio track")
+        t = atracks[0]
+        if t.codec != "ipcm":
+            raise NotImplementedError(
+                f"m4a codec '{t.codec}' requires external library"
+            )
+        ch, size, rate, le = bmff.parse_pcm_entry(t.sample_entry_payload)
+        payload = b"".join(bmff.extract_samples(bytes(data), t))
+        endian = "<" if le else ">"
+        if size == 16:
+            x = np.frombuffer(payload, dtype=f"{endian}i2").astype(np.float64)
+            x /= 32768.0
+        elif size == 32:
+            x = np.frombuffer(payload, dtype=f"{endian}i4").astype(np.float64)
+            x /= float(1 << 31)
+        else:  # 24-bit
+            b3 = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+            if not le:
+                b3 = b3[:, ::-1]
+            v = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        n = x.size - x.size % ch
+        y = x[:n].reshape(-1, ch)
+        return rate, y[:, 0] if ch == 1 else y.mean(axis=1)
     if fmt != "rawpcm" or data[:4] != b"RAWA":
         raise ValueError(f"unknown audio format {fmt!r}")
     import struct as _struct

@@ -229,3 +229,83 @@ def test_sample_frames_mixed_containers(spark):
     b = out[out.video_id == "a-mp4"].sort_values("frame_idx").reset_index(drop=True)
     assert list(a.frame_idx) == list(b.frame_idx)
     assert all(bytes(x) == bytes(y) for x, y in zip(a.pixels, b.pixels))
+
+
+# ---------------------------------------------------------------------------
+# m4a: raw PCM ('ipcm' + pcmC, ISO/IEC 23003-5) in the same container
+
+
+class TestM4aPcm:
+    def _sine(self, n=3000, seed=0):
+        rng = np.random.default_rng(seed)
+        x = 0.5 * np.sin(np.arange(n) * 0.05) + rng.normal(0, 0.01, n)
+        return np.clip(np.round(x * 32768.0), -32768, 32767).astype(np.int16)
+
+    def test_mux_demux_round_trip(self):
+        s = self._sine()
+        blob = bmff.mux_m4a_pcm(16000, s.tobytes())
+        info = bmff.demux_mp4(blob)
+        (t,) = info["tracks"]
+        assert t.handler == "soun" and t.codec == "ipcm"
+        assert t.timescale == 16000 and t.duration == 3000
+        assert bmff.parse_pcm_entry(t.sample_entry_payload) == (1, 16, 16000, True)
+        payload = b"".join(bmff.extract_samples(blob, t))
+        assert payload == s.tobytes()
+        # 1024-frame blocks: 2 full + 1 partial
+        assert t.sample_sizes == [2048, 2048, 1904]
+
+    def test_audio_decode_parity_with_rawpcm(self):
+        from gjspark.operators.multimodal import _decode_audio
+
+        s = self._sine(n=1500, seed=1)
+        raw = b"RAWA" + struct.pack("<II", 8000, 1500) + s.tobytes()
+        m4a = bmff.mux_m4a_pcm(8000, s.tobytes())
+        r1, x1 = _decode_audio(raw, "rawpcm")
+        r2, x2 = _decode_audio(m4a, "m4a")
+        assert r1 == r2 and np.array_equal(x1, x2)
+
+    def test_stereo_24bit(self):
+        from gjspark.operators.multimodal import _decode_audio
+
+        s = self._sine(n=600, seed=2)
+        st = np.stack([s, np.roll(s, 7)], axis=1)
+        b24 = st.astype("<i4").view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+        blob = bmff.mux_m4a_pcm(44100, b24, channels=2, sample_size=24)
+        rate, x = _decode_audio(blob, "m4a")
+        assert rate == 44100
+        assert np.allclose(x, st.mean(axis=1) / float(1 << 23))
+
+    def test_aac_stays_stub(self):
+        from gjspark.operators.multimodal import _decode_audio
+
+        s = self._sine(n=100, seed=3)
+        blob = bytearray(bmff.mux_m4a_pcm(8000, s.tobytes()))
+        idx = bytes(blob).rindex(b"ipcm")  # the stsd fourcc, not the hdlr name
+        blob[idx : idx + 4] = b"mp4a"
+        with pytest.raises(NotImplementedError):
+            _decode_audio(bytes(blob), "m4a")
+
+    def test_no_audio_track_raises(self):
+        from gjspark.operators.multimodal import _decode_audio
+
+        frames = _frames(4, 4, 2, seed=4)
+        vid = bmff.mux_mp4_rawvideo(frames, 4, 4)
+        with pytest.raises(ValueError):
+            _decode_audio(vid, "m4a")
+
+    def test_mux_rejects_bad_input(self):
+        with pytest.raises(ValueError):
+            bmff.mux_m4a_pcm(8000, b"")
+        with pytest.raises(ValueError):
+            bmff.mux_m4a_pcm(8000, b"\x00\x01\x02", channels=2)  # not a frame multiple
+        with pytest.raises(ValueError):
+            bmff.mux_m4a_pcm(8000, b"\x00\x00", sample_size=12)
+
+    def test_parse_pcm_entry_requires_pcmc(self):
+        s = self._sine(n=64, seed=5)
+        blob = bytearray(bmff.mux_m4a_pcm(8000, s.tobytes()))
+        idx = bytes(blob).index(b"pcmC")
+        blob[idx : idx + 4] = b"xxxx"
+        info = bmff.demux_mp4(bytes(blob))
+        with pytest.raises(ValueError):
+            bmff.parse_pcm_entry(info["tracks"][0].sample_entry_payload)
