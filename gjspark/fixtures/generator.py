@@ -598,7 +598,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L13"  # L13: + m4a/ipcm audio rows (L11 gif video + wav, L12 flac)
+LIGHT_VERSION = "L14"  # L14: + avi DIB/MJPG video rows (L13 m4a, L12 flac, L11 gif+wav)
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -670,6 +670,27 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
             # deterministic raw-RGB samples: the mp4 demux path — box tree,
             # stsd/stts/stsc/stsz/stco sample tables — runs end-to-end
             fmt, blob = "mp4", mux_mp4_rawvideo(frames, w, h)
+        elif i % 12 == 2:
+            # real RIFF/AVI container, uncompressed 'DIB ' frames
+            # (bottom-up padded BGR per spec) — lossless, source md5s hold
+            from gjspark.functions.avi import mux_avi
+
+            fmt, blob = "avi", mux_avi(frames, w, h, "DIB ")
+        elif i % 12 == 8:
+            # real AVI/MJPG: one baseline JPEG per frame through the
+            # from-spec jpeg codec. Lossy, so the truth md5s are computed
+            # over the DECODED pixels (deterministic decoder)
+            from gjspark.functions.avi import mux_avi
+            from gjspark.functions.jpeg import decode_jpeg, encode_jpeg
+
+            jf = [
+                encode_jpeg(
+                    np.frombuffer(f, dtype=np.uint8).reshape(h, w, 3), 97
+                )
+                for f in frames
+            ]
+            frames = [decode_jpeg(b).tobytes() for b in jf]
+            fmt, blob = "avi", mux_avi(jf, w, h, "MJPG")
         elif i % 12 == 5:
             # real animated GIF89a: palettized source frames are the truth
             # (md5s below hash THESE, an independent check of LZW decode

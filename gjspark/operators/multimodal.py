@@ -188,7 +188,7 @@ FRAMES_SCHEMA = T.StructType(
     ]
 )
 
-VIDEO_STUB_FORMATS = {"webm", "avi", "mkv"}
+VIDEO_STUB_FORMATS = {"webm", "mkv"}
 
 
 def _decode_video(data: bytes, fmt: str):
@@ -215,6 +215,24 @@ def _decode_video(data: bytes, fmt: str):
             return frames[i].tobytes()
 
         return w, h, len(frames), get_gif
+    if fmt == "avi":
+        # real RIFF/AVI demux (functions/avi.py); 'DIB ' raw frames and
+        # 'MJPG' motion-JPEG (via the from-spec jpeg.py) decode
+        # end-to-end, lazily per sampled frame; other codecs raise
+        from gjspark.functions import avi as avix
+
+        info = avix.demux_avi(bytes(data))
+        aw, ah, codec = info["w"], info["h"], info["codec"]
+        chunks = info["frames"]
+        if codec not in ("DIB ", "MJPG"):
+            raise NotImplementedError(
+                f"avi codec '{codec}' requires external library"
+            )
+
+        def get_avi(i: int) -> bytes:
+            return avix.decode_avi_frame(chunks[i], aw, ah, codec).tobytes()
+
+        return aw, ah, len(chunks), get_avi
     if fmt == "mp4":
         from gjspark.functions import bmff
 
