@@ -1039,7 +1039,8 @@ def oracle_sql() -> dict[str, str]:
             WITH v AS (
               SELECT video_id, fw, fh, n_frames, frame_md5s
               FROM read_parquet('{fx}/videos_fixture.parquet')
-              WHERE fmt IN ('rawvid', 'mp4', 'gif', 'avi') AND n_frames > 0
+              WHERE fmt IN ('rawvid', 'mp4', 'gif', 'avi', 'mkv')
+                AND n_frames > 0
             ),
             picks AS (
               SELECT video_id, fw, fh, n_frames, frame_md5s,

@@ -598,7 +598,7 @@ def _write_parquet(path, cols, schema=None):
     pq.write_table(table, path)
 
 
-LIGHT_VERSION = "L14"  # L14: + avi DIB/MJPG video rows (L13 m4a, L12 flac, L11 gif+wav)
+LIGHT_VERSION = "L15"  # L15: + mkv V_UNCOMPRESSED rows (L14 avi, L13 m4a, L12 flac)
 
 
 def make_neardup_embeddings(n_base: int = 1900, n_dups: int = 100, dim: int = 64):
@@ -691,6 +691,12 @@ def make_media_tables(n_videos: int = 60, n_audios: int = 100):
             ]
             frames = [decode_jpeg(b).tobytes() for b in jf]
             fmt, blob = "avi", mux_avi(jf, w, h, "MJPG")
+        elif i % 12 == 3:
+            # real EBML/Matroska container (functions/mkv.py, RFC 8794 +
+            # 9559): V_UNCOMPRESSED SimpleBlocks decode end-to-end
+            from gjspark.functions.mkv import mux_mkv_rawvideo
+
+            fmt, blob = "mkv", mux_mkv_rawvideo(frames, w, h)
         elif i % 12 == 5:
             # real animated GIF89a: palettized source frames are the truth
             # (md5s below hash THESE, an independent check of LZW decode

@@ -167,14 +167,17 @@ def resize_images(images: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFr
 
 # ---------------------------------------------------------------------------
 # Video frame sampling (training-data pipeline requirement): videos are
-# opaque binary columns. The mp4 CONTAINER layer is real (ISO-BMFF demux
-# from the public ISO/IEC 14496-12 spec, functions/bmff.py) and decodes
-# 'rawv'-entry samples end-to-end; lossy codec payloads (avc1/av01/...)
-# and the other containers (webm/avi/mkv) stay stubbed behind
+# opaque binary columns. Every mainstream CONTAINER layer is real —
+# ISO-BMFF/mp4 (functions/bmff.py), RIFF/AVI (functions/avi.py),
+# EBML/Matroska incl. webm (functions/mkv.py), animated GIF
+# (functions/gif.py) — and the uncompressed-or-in-repo codecs decode
+# end-to-end ('rawv' mp4 samples, AVI 'DIB ' and 'MJPG' via jpeg.py,
+# matroska V_UNCOMPRESSED, GIF LZW). Compressed payloads with no
+# in-container decoder (avc1/av01, V_VP8/V_VP9) stay stubbed behind
 # NotImplementedError, while the Spark-side plumbing — schema, batching,
-# frame selection, output shape — is real and tested against both the
+# frame selection, output shape — is real and tested against the
 # deterministic 'rawvid' format (header b'RAWV' + uint16 LE (w, h,
-# n_frames) + raw RGB frames) and mp4-wrapped equivalents.
+# n_frames) + raw RGB frames) and every container-wrapped equivalent.
 # ---------------------------------------------------------------------------
 
 FRAMES_SCHEMA = T.StructType(
@@ -188,7 +191,7 @@ FRAMES_SCHEMA = T.StructType(
     ]
 )
 
-VIDEO_STUB_FORMATS = {"webm", "mkv"}
+VIDEO_STUB_FORMATS: set[str] = set()
 
 
 def _decode_video(data: bytes, fmt: str):
@@ -233,6 +236,32 @@ def _decode_video(data: bytes, fmt: str):
             return avix.decode_avi_frame(chunks[i], aw, ah, codec).tobytes()
 
         return aw, ah, len(chunks), get_avi
+    if fmt in ("mkv", "webm"):
+        # real EBML/Matroska demux (functions/mkv.py, RFC 8794 + 9559);
+        # V_UNCOMPRESSED top-down RGB24 decodes end-to-end, compressed
+        # codecs (webm's V_VP8/V_VP9/V_AV1, ...) stay env stubs
+        from gjspark.functions import mkv as mkvx
+
+        info = mkvx.demux_mkv(bytes(data))
+        vtracks = [t for t in info["tracks"] if t["type"] == 1]
+        if not vtracks:
+            raise ValueError("matroska file has no video track")
+        t = vtracks[0]
+        if t["codec"] != "V_UNCOMPRESSED":
+            raise NotImplementedError(
+                f"matroska codec '{t['codec']}' requires external library"
+            )
+        mw, mh = t["w"], t["h"]
+        mframes = [f for tn, f in info["frames"] if tn == t["number"]]
+        if not mframes:
+            raise ValueError("matroska video track has no frames")
+        if any(len(f) != mw * mh * 3 for f in mframes):
+            raise ValueError("V_UNCOMPRESSED frame size mismatch")
+
+        def get_mkv(i: int) -> bytes:
+            return mframes[i]
+
+        return mw, mh, len(mframes), get_mkv
     if fmt == "mp4":
         from gjspark.functions import bmff
 

@@ -198,10 +198,11 @@ def test_decode_video_mp4_and_stubs():
     avc = blob[: si + 16] + b"avc1" + blob[si + 20 :]
     with pytest.raises(NotImplementedError):
         _decode_video(avc, "mp4")
-    with pytest.raises(NotImplementedError):
+    # garbage containers -> ValueError -> skippable rows
+    with pytest.raises(ValueError):
         _decode_video(b"\x00" * 32, "webm")
     with pytest.raises(ValueError):
-        _decode_video(b"\x00" * 32, "mp4")  # garbage container -> skippable
+        _decode_video(b"\x00" * 32, "mp4")
 
 
 def test_sample_frames_mixed_containers(spark):
