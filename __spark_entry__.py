@@ -415,6 +415,45 @@ def q_mosaic(spark, sf_dir):
     ).select("cell", "n_images")
 
 
+def q_phash_neardup(spark, sf_dir):
+    """Perceptual image dedup (the LAION-style pipeline step): decode ->
+    phash -> exact phash classes -> near-duplicate pairs over the class
+    representatives via 8-band pigeonhole blocking + Hamming<=7 verify
+    (dedup.phash_neardup_pairs). Restricted to lossless formats so the
+    decoded phash equals the generator's stored phash column and the
+    DuckDB oracle recomputes the whole pipeline from the fixture
+    parquet through an independent path. The corpus plants brightness+8
+    near-dups (generator.make_images_table) so the result is
+    non-trivial."""
+    from gjspark.functions import codecs as C
+    from gjspark.operators.cells import with_cell_columns
+    from gjspark.operators.dedup import phash_neardup_pairs
+    from gjspark.operators.fused import decoded_features
+
+    fx = _fixtures()
+    imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
+    feats = decoded_features(imgs).filter(
+        F.col("decode_ok") & F.col("fmt").isin(sorted(C.LOSSLESS))
+    )
+    classes = feats.groupBy(F.col("phash_decoded").alias("phash")).agg(
+        F.min("image_id").alias("rep_id"), F.count("*").alias("class_size")
+    )
+    pairs = phash_neardup_pairs(classes, phash_col="phash", id_col="rep_id")
+    a = classes.select(F.col("rep_id").alias("id_a"), F.col("class_size").alias("n_a"))
+    b = classes.select(F.col("rep_id").alias("id_b"), F.col("class_size").alias("n_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+    )
+
+
 def q_preview(spark, sf_dir):
     from gjspark.operators.entities import nuts_config, preview
     from gjspark.sources.geojson import read_feature_collection
@@ -860,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decode": q_decode,
         "q_tile_rollup": q_tile_rollup,
         "q_mosaic": q_mosaic,
+        "q_phash_neardup": q_phash_neardup,
         "q_preview": q_preview,
         "q_upsert": q_upsert,
         "q_upsert_equals": q_upsert_equals,
@@ -1019,6 +1059,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT h3_r7 AS cell, count(*) AS n_images
             FROM read_parquet('{fx}/expected_cells.parquet')
             GROUP BY 1
+        """,
+        # perceptual near-dup recomputed from the generator's stored
+        # phash column (decoded phash == stored phash on lossless rows):
+        # exact classes -> 8-band pigeonhole self-join -> Hamming<=7
+        "q_phash_neardup": f"""
+            WITH imgs AS (
+              SELECT image_id, phash
+              FROM read_parquet('{fx}/images_sf_e2e.parquet')
+              WHERE fmt IN ('bmp', 'gif', 'png', 'ppm', 'webp')
+            ),
+            classes AS (
+              SELECT phash, min(image_id) AS rep_id, count(*) AS class_size
+              FROM imgs GROUP BY phash
+            ),
+            bands AS (
+              SELECT rep_id, phash, b, (phash >> (8 * b)) & 255 AS val
+              FROM classes, (SELECT unnest([0,1,2,3,4,5,6,7]) AS b) js
+            ),
+            cand AS (
+              SELECT DISTINCT l.rep_id AS id_a, r.rep_id AS id_b,
+                     l.phash AS pa, r.phash AS pb
+              FROM bands l
+              JOIN bands r ON l.b = r.b AND l.val = r.val
+                          AND l.rep_id < r.rep_id
+            )
+            SELECT c.id_a, c.id_b,
+                   bit_count(xor(pa, pb))::BIGINT AS hamming,
+                   ca.class_size::BIGINT AS n_a,
+                   cb.class_size::BIGINT AS n_b
+            FROM cand c
+            JOIN classes ca ON c.id_a = ca.rep_id
+            JOIN classes cb ON c.id_b = cb.rep_id
+            WHERE bit_count(xor(pa, pb)) <= 7
         """,
         "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",
         "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",

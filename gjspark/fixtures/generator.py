@@ -35,7 +35,7 @@ from gjspark.functions import gif as gifc
 from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v16"  # v16: + real GIF rows (LZW codec; palettized at source)
+VERSION = "v17"  # v17: + planted brightness near-dups (v16 added real GIF rows)
 # bench corpus version: bumps only when BENCH file content changes
 # (v14 added jpeg to the e2e cycle only — bench content is still v13's)
 BENCH_VERSION = "v13"
@@ -193,8 +193,18 @@ def caption_for(i: int) -> str:
     return f"caption {i} {words}"
 
 
-def make_images_table(n: int, formats: list[str] | None = None):
-    """-> dict of columns for the Iceberg-shaped images table."""
+def make_images_table(
+    n: int, formats: list[str] | None = None, plant_neardups: bool = False
+):
+    """-> dict of columns for the Iceberg-shaped images table.
+
+    ``plant_neardups`` (e2e corpus only — the bench corpus must stay
+    byte-stable across rounds): every 35th row becomes a brightness+8
+    copy of the row 112 positions earlier (112 = lcm of the dims and
+    format cycles, so dims and format slot match). Brightness shifts
+    are the canonical perceptual near-duplicate: the planted phash
+    lands 1-7 Hamming bits from its base ~3/4 of the time, feeding
+    q_phash_neardup."""
     formats = FMT_CYCLE if formats is None else formats
     rng = np.random.default_rng(SEED + 1)
     feats = make_features()
@@ -219,6 +229,10 @@ def make_images_table(n: int, formats: list[str] | None = None):
     imgs = []
     for i in range(n):
         img = make_image(i)
+        if plant_neardups and i % 35 == 14 and i >= 112:
+            img = np.clip(
+                make_image(i - 112).astype(np.int16) + 8, 0, 255
+            ).astype(np.uint8)
         fmt = formats[i % len(formats)]
         if fmt == "gif":
             # palette format: the quantized image IS the source of truth
@@ -1091,7 +1105,7 @@ def ensure_fixtures(root: str = DEFAULT_DIR) -> str:
     )
 
     for tag, n in (("sf_unit", N_IMAGES_UNIT), ("sf_e2e", N_IMAGES_E2E)):
-        cols = make_images_table(n)
+        cols = make_images_table(n, plant_neardups=True)
         _write_parquet(
             os.path.join(root, f"images_{tag}.parquet"), cols, _images_schema()
         )

@@ -458,3 +458,59 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: 64-bit phash -> ``n_bands``
+    byte bands -> pigeonhole blocking -> Hamming <= ``max_hamming``.
+
+    The image-side sibling of :func:`simhash_pairs` (the LAION-style
+    corpus dedup an image training pipeline runs after decode). By the
+    pigeonhole principle, recall is exact for
+    ``max_hamming < n_bands``: a pair within the threshold must agree on
+    at least one band, so the banded self-join finds every qualifying
+    pair while only ever shuffling (band_idx, band_value, id, phash)
+    rows — never an all-pairs join. Verification is a pure-Column
+    ``bit_count`` on the joined hashes; no Python stage anywhere.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole recall needs max_hamming < n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(phash_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = (
+        df.select(
+            F.col(id_col).alias("id"), F.col(phash_col).alias("ph"), bands.alias("bs")
+        )
+        .select("id", "ph", F.explode("bs").alias("b"))
+        .select("id", "ph", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    )
+    left = exploded.select(
+        "band", "val", F.col("id").alias("id_a"), F.col("ph").alias("ph_a")
+    )
+    right = exploded.select(
+        "band", "val", F.col("id").alias("id_b"), F.col("ph").alias("ph_b")
+    )
+    return (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(ph_a ^ ph_b)").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

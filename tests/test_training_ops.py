@@ -297,3 +297,72 @@ class TestVectorizedTextKernels:
             solo = TX._winnow_batch(pd.Series([d]), 5, 4)
             for col in ("n_fingerprints", "min_fp", "fp_xor"):
                 assert got[col][i] == solo[col][0], (i, d, col)
+
+
+def test_phash_neardup_pairs(spark):
+    """Banded perceptual near-dup: pigeonhole completeness vs a numpy
+    brute force on a synthetic set with known Hamming structure."""
+    import numpy as np
+
+    from gjspark.operators.dedup import phash_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 63, 40, dtype=np.int64)
+    rows = [(f"id-{i:03d}", int(v)) for i, v in enumerate(base)]
+    # plant near-dups at known distances 1..7 and one at 9 (excluded)
+    for k, d in enumerate([1, 3, 5, 7, 9]):
+        v = int(base[k])
+        for bit in rng.choice(64, d, replace=False):
+            v ^= 1 << int(bit)
+        if v >= 1 << 63:  # wrap to signed int64
+            v -= 1 << 64
+        rows.append((f"dup-{k}-{d:02d}", v))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    out = phash_neardup_pairs(df).toPandas()
+    got = {(r.id_a, r.id_b, r.hamming) for r in out.itertuples()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    exp = set()
+    vals = dict(rows)
+    for a in vals:
+        for b in vals:
+            if a < b and ham(vals[a], vals[b]) <= 7:
+                exp.add((a, b, ham(vals[a], vals[b])))
+    assert got == exp
+    assert ("dup-0-01" in {p[1] for p in got}) or ("dup-0-01" in {p[0] for p in got})
+    assert not any("dup-4-09" in (p[0], p[1]) for p in got)
+
+
+def test_phash_neardup_rejects_bad_params(spark):
+    from gjspark.operators.dedup import phash_neardup_pairs
+
+    df = spark.createDataFrame([("a", 1)], "image_id string, phash long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_neardup_pairs(df, max_hamming=8, n_bands=8)
+
+
+def test_planted_neardups_exist_in_unit_corpus(fixtures_dir):
+    """The e2e/unit corpora plant brightness+8 near-dups; at least one
+    planted pair must land within Hamming<=7 of its base class."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gjspark.functions import codecs as C
+
+    t = pq.read_table(
+        f"{fixtures_dir}/images_sf_unit.parquet", columns=["phash", "fmt"]
+    ).to_pandas()
+    ph = np.unique(t.phash[t.fmt.isin(sorted(C.LOSSLESS))].to_numpy().astype(np.uint64))
+    x = ph[:, None] ^ ph[None, :]
+    ham = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for _ in range(64):
+        ham += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    iu = np.triu_indices(len(ph), 1)
+    close = ham[iu]
+    assert ((close >= 1) & (close <= 7)).sum() >= 1
