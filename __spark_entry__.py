@@ -282,6 +282,24 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: the transitive-closure step after
+    pair finding (a near-dup pipeline keeps ONE doc per connected
+    component, not per pair). Pairs come from the bit-exact simhash
+    pipeline at the classic Hamming<=3 dedup threshold (where the
+    4x16-bit band blocking has EXACT pigeonhole recall); components via
+    alternating large-star/small-star (dedup.connected_components).
+    Oracle: the same simhash SQL twin feeding a recursive-CTE
+    reachability closure in DuckDB — a fully independent second
+    implementation of both stages."""
+    from gjspark.operators.dedup import dedup_clusters, simhash_pairs
+
+    pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return dedup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
 def q_langid(spark, sf_dir):
     from gjspark.operators.text import language_id
 
@@ -768,6 +786,35 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def _dedup_clusters_oracle_sql(max_hamming: int = 10) -> str:
+    """DuckDB twin of q_dedup_clusters: the simhash pair twin as a CTE,
+    then connected components as a recursive reachability closure
+    (min reachable id per node) — algorithm-independent of the engine's
+    large-star/small-star iteration."""
+    pairs_sql = _simhash_oracle_sql(max_hamming=max_hamming)
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.id
+),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+FROM comp JOIN sizes USING (cluster_id)
+"""
+
+
 def _winnow_oracle_sql(k: int = 8, window: int = 4) -> str:
     """DuckDB twin of winnow_fingerprints: same polynomial k-gram hash
     (constants from the same base), window-min via a window frame,
@@ -887,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_langid": q_langid,
         "q_winnow": q_winnow,
         "q_ivf_topk": q_ivf_topk,
@@ -1162,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         # full second implementations of the LSH pipelines in SQL:
         "q_minhash_pairs": _minhash_oracle_sql(threshold=0.5),
         "q_simhash_pairs": _simhash_oracle_sql(max_hamming=10),
+        "q_dedup_clusters": _dedup_clusters_oracle_sql(max_hamming=3),
         "q_winnow": _winnow_oracle_sql(),
         "q_langid": _langid_oracle_sql(),
         # IVF probing (trained quantizer) is not SQL-expressible; the

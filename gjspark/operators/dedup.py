@@ -460,6 +460,120 @@ def embedding_near_dup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Edge list -> ``(id, component)``: every node mapped to the minimum
+    id reachable from it. The clustering step every near-dup pipeline
+    needs after pair-finding (minhash/simhash/phash emit PAIRS; keeping
+    one document per duplicate GROUP requires the transitive closure —
+    A~B, B~C puts A,C in one cluster even though the pair finder never
+    compared them).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    published O(log^2 n)-round MapReduce formulation, here as pure
+    DataFrame ops:
+
+    - large-star: for each node u with neighborhood G(u), attach every
+      neighbor v > u to m = min(G(u) + {u});
+    - small-star: orient edges (larger -> smaller); attach every
+      neighbor and u itself to the minimum of the oriented neighborhood.
+
+    Each half-round is ONE groupBy-min plus ONE equi-join on the node id
+    — never an all-pairs product — and edge count only shrinks toward
+    the star fixpoint, so at 10^12 rows every shuffle is bounded by the
+    current edge set. Convergence is detected by an order-independent
+    signature (count + xor of xxhash64(u,v)); lineage is cut per round
+    with ``localCheckpoint`` (swap for ``checkpoint`` on a reliable FS
+    when running multi-executor — driver note in plans/job.py applies).
+
+    Nodes that appear only in self-pairs (u==u) are dropped with those
+    degenerate edges; singleton nodes never appear in ``pairs`` at all,
+    so the output covers exactly the nodes with >=1 real neighbor.
+    """
+    E = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    id_type = E.schema["u"].dataType
+
+    def _sig(e: DataFrame):
+        # order-independent, overflow-free (xor) fingerprint of the edge set
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(cast(u as string), cast(v as string)))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    E = E.localCheckpoint()
+    prev = _sig(E)
+    if prev[0] == 0:
+        return E.sparkSession.createDataFrame(
+            [], T.StructType([
+                T.StructField("id", id_type),
+                T.StructField("component", id_type),
+            ])
+        )
+    for _ in range(max_iter):
+        # large-star: symmetrize, m(u) = min over G(u)+{u}, attach v>u to m
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            sym.join(mins, "u")
+            .withColumn("m", F.least(F.col("u"), F.col("mn")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges out of large-star already point larger->smaller
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        E = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _sig(E)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint = disjoint stars centered at each component's min id
+    comp = E.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = comp.select("component").distinct().select(
+        F.col("component").alias("id"), F.col("component")
+    )
+    return comp.union(roots)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs -> ``(id, cluster_id, cluster_size)``; cluster_id =
+    min member id (the keeper a dedup pipeline retains)."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        "id",
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def phash_neardup_pairs(
     df: DataFrame,
     phash_col: str = "phash",

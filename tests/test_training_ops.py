@@ -77,6 +77,92 @@ class TestDedup:
         assert all(a >= 100 for a, b in pairs)  # random pairs don't hit 0.98
 
 
+class TestConnectedComponents:
+    """dedup.connected_components (large-star/small-star) — the
+    transitive-closure step over near-dup pairs."""
+
+    @staticmethod
+    def _cc(spark, edges):
+        from gjspark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["id"]: r["component"] for r in connected_components(df).collect()
+        }
+
+    def test_chain_is_one_component(self, spark):
+        # a path 1-2-3-...-8: pair-finders never compared 1 with 8
+        out = self._cc(spark, [(i, i + 1) for i in range(1, 8)])
+        assert out == {i: 1 for i in range(1, 9)}
+
+    def test_two_components_and_reversed_edges(self, spark):
+        out = self._cc(spark, [(5, 3), (3, 9), (20, 10), (10, 30)])
+        assert out == {3: 3, 5: 3, 9: 3, 10: 10, 20: 10, 30: 10}
+
+    def test_self_loops_dropped_empty_ok(self, spark):
+        from gjspark.operators.dedup import connected_components
+
+        df = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+        assert connected_components(df).count() == 0
+
+    def test_random_graph_vs_union_find(self, spark):
+        rng = np.random.default_rng(7)
+        n = 300
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(250, 2))
+            if a != b
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        # canonicalize: representative = min id in component
+        comp_min: dict[int, int] = {}
+        for v in touched:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[find(v)] for v in touched}
+        out = self._cc(spark, edges)
+        assert out == expected
+
+    def test_cluster_sizes(self, spark):
+        from gjspark.operators.dedup import dedup_clusters
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        rows = {
+            r["id"]: (r["cluster_id"], r["cluster_size"])
+            for r in dedup_clusters(df).collect()
+        }
+        assert rows == {
+            1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)
+        }
+
+    def test_string_ids(self, spark):
+        from gjspark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(
+            [("img_b", "img_a"), ("img_b", "img_c")], "id_a string, id_b string"
+        )
+        out = {
+            r["id"]: r["component"] for r in connected_components(df).collect()
+        }
+        assert out == {
+            "img_a": "img_a", "img_b": "img_a", "img_c": "img_a"
+        }
+
+
 class TestANN:
     @pytest.fixture(scope="class")
     def vecs(self, spark, fixtures_dir):
