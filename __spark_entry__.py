@@ -282,6 +282,50 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog cardinality sketch (operators/sketches.py): pure
+    Column expressions, mergeable registers, integer-exact sketch state
+    (see module docstring for the cross-engine determinism design).
+    Two scopes exercise both estimator branches: per-event-type distinct
+    users hits linear counting; global distinct event_id hits the raw
+    harmonic estimator. ``err_le_15pct`` is the accuracy gate vs the
+    exact distinct count (the q_ivf_recall pattern: a quality regression
+    flips the flag and reds this row)."""
+    from gjspark.operators.sketches import approx_distinct_hll
+
+    e = _t(spark, sf_dir, "events")
+    users = approx_distinct_hll(e, "user_id", ("event_type",)).select(
+        F.concat(F.lit("users:"), F.col("event_type")).alias("scope"),
+        "n_buckets", "harmonic_sum_scaled", "estimate",
+    )
+    ids = approx_distinct_hll(e, "event_id").select(
+        F.lit("all:event_id").alias("scope"),
+        "n_buckets", "harmonic_sum_scaled", "estimate",
+    )
+    ex_users = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    ).select(
+        F.concat(F.lit("users:"), F.col("event_type")).alias("scope"), "exact"
+    )
+    ex_ids = e.agg(F.countDistinct("event_id").alias("exact")).select(
+        F.lit("all:event_id").alias("scope"), "exact"
+    )
+    return (
+        users.unionByName(ids)
+        .join(ex_users.unionByName(ex_ids), "scope")
+        .select(
+            "scope",
+            "n_buckets",
+            "harmonic_sum_scaled",
+            "estimate",
+            F.col("exact").cast("long").alias("exact"),
+            (F.abs(F.col("estimate") / F.col("exact") - 1) <= 0.15).alias(
+                "err_le_15pct"
+            ),
+        )
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Duplicate-cluster assignment: the transitive-closure step after
     pair finding (a near-dup pipeline keeps ONE doc per connected
@@ -786,6 +830,41 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def _approx_distinct_oracle_sql() -> str:
+    """DuckDB twin of q_approx_distinct: the same HLL register/estimator
+    SQL (sketches.approx_distinct_sql_twin — same hash, same integer
+    register math, same embedded linear-counting literals) over both
+    scopes, joined to the exact distinct counts with the identical flag
+    arithmetic."""
+    from gjspark.operators.sketches import approx_distinct_sql_twin
+
+    users = approx_distinct_sql_twin("events", "user_id", ("event_type",))
+    ids = approx_distinct_sql_twin("events", "event_id")
+    return f"""
+WITH sk_users AS ({users}),
+sk_ids AS ({ids}),
+sk AS (
+  SELECT 'users:' || event_type AS scope, n_buckets, harmonic_sum_scaled,
+         estimate
+  FROM sk_users
+  UNION ALL
+  SELECT 'all:event_id' AS scope, n_buckets, harmonic_sum_scaled, estimate
+  FROM sk_ids
+),
+ex AS (
+  SELECT 'users:' || event_type AS scope,
+         count(DISTINCT user_id)::BIGINT AS exact
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'all:event_id' AS scope, count(DISTINCT event_id)::BIGINT AS exact
+  FROM events
+)
+SELECT sk.scope, sk.n_buckets, sk.harmonic_sum_scaled, sk.estimate,
+       ex.exact, abs(sk.estimate / ex.exact - 1) <= 0.15 AS err_le_15pct
+FROM sk JOIN ex USING (scope)
+"""
+
+
 def _dedup_clusters_oracle_sql(max_hamming: int = 10) -> str:
     """DuckDB twin of q_dedup_clusters: the simhash pair twin as a CTE,
     then connected components as a recursive reachability closure
@@ -935,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_approx_distinct": q_approx_distinct,
         "q_langid": q_langid,
         "q_winnow": q_winnow,
         "q_ivf_topk": q_ivf_topk,
@@ -1211,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_pairs": _minhash_oracle_sql(threshold=0.5),
         "q_simhash_pairs": _simhash_oracle_sql(max_hamming=10),
         "q_dedup_clusters": _dedup_clusters_oracle_sql(max_hamming=3),
+        "q_approx_distinct": _approx_distinct_oracle_sql(),
         "q_winnow": _winnow_oracle_sql(),
         "q_langid": _langid_oracle_sql(),
         # IVF probing (trained quantizer) is not SQL-expressible; the

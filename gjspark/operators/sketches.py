@@ -1,0 +1,188 @@
+"""Cardinality sketches for training-data pipelines (graft-cell
+requirement; no reference analogue — the importer counts exactly, which
+does not exist at 10^12 rows).
+
+HyperLogLog (Flajolet et al. 2007) as PURE Column expressions — no UDF,
+no collect. The register build is an ordinary two-level aggregation
+(map-side combine on (group, bucket) then max), so it shuffles at most
+``groups x m`` tiny rows no matter how many input rows there are; the
+estimator is one more groupBy over those registers. Registers are
+mergeable by construction (max), which is exactly what a 1000-executor
+rollup needs.
+
+Determinism across engines (the contract gate) is by construction:
+
+- the hash is the big-endian integer of the first 8 hex chars of
+  ``md5(value)`` — Spark ``conv(substr(md5(x),1,8),16,10)``, DuckDB
+  ``('0x' || substr(md5(x),1,8))::BIGINT`` — bit-identical;
+- rho uses ``length(bin(w))`` (integer bit-length) rather than
+  ``floor(log2(w))`` — no floating point anywhere in the sketch state;
+- the harmonic sum is kept as an exact INTEGER ``sum(2^(K-M))`` (scaled
+  by 2^K), so the only float op is one final literal/Sint division that
+  both engines perform identically under IEEE-754;
+- the linear-counting branch looks up a PRECOMPUTED table of the m
+  possible ``m*ln(m/V)`` values (generated once in Python and embedded
+  as literals in both the Column expression and the SQL twin), so no
+  cross-engine ``ln`` ulp divergence can leak into the result.
+
+The p=8 / 32-bit-hash configuration is the oracle-parity default; the
+same code takes any p <= 24. Beyond ~10^8 distinct values per group a
+64-bit hash variant (swap the md5 substring width) is the scale path —
+the 32-bit hash saturates, which is a hash-width property, not a plan
+property.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def linear_counting_table(p: int = 8) -> list[float]:
+    """lc[V-1] = m * ln(m / V) for V = 1..m (V = number of empty
+    registers). Embedded as literals on both engine and oracle side."""
+    m = 1 << p
+    return [m * math.log(m / v) for v in range(1, m + 1)]
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """-> one row per (group, bucket) with the max-rho register value.
+
+    bucket = top ``p`` bits of the 32-bit hash; rho = 1 + number of
+    leading zeros in the remaining ``32-p`` bits (1..33-p)."""
+    if not 4 <= p <= 24:
+        raise ValueError("p must be in [4, 24]")
+    wbits = 32 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    bucket = F.shiftrightunsigned(h, wbits).alias("bucket")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .alias("rho")
+    )
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def approx_distinct_hll(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """-> per group: (n_buckets, harmonic_sum_scaled, estimate).
+
+    estimate = alpha_m * m^2 / sum(2^-M[j]), with Flajolet's
+    small-range linear-counting correction when raw <= 2.5m and empty
+    registers exist. ``harmonic_sum_scaled`` = the exact integer
+    ``2^K * sum(2^-M)`` (K = 33-p) that the estimate divides into — kept
+    in the output so a regression anywhere in the register pipeline is
+    visible as an integer mismatch, not a float blur.
+    """
+    m = 1 << p
+    K = 33 - p  # max rho + ... scale exponent: 2^(K - M) >= 1 for M <= K
+    regs = hll_registers(df, value_col, group_cols, p)
+    gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
+    agg = gb.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr(f"cast(shiftleft(1L, {K} - m_reg) as bigint)")).alias("s_present"),
+    )
+    # empty registers contribute 2^-0 = 1 each -> 2^K scaled
+    sint = (
+        F.col("s_present") + (F.lit(m) - F.col("n_buckets")) * F.lit(1 << K)
+    ).alias("harmonic_sum_scaled")
+    c_lit = _alpha(m) * m * m * float(1 << K)  # one literal, one division
+    lc = linear_counting_table(p)
+    lc_arr = F.array(*[F.lit(v) for v in lc])
+    out = agg.select(
+        *group_cols,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        sint,
+    )
+    raw = F.lit(c_lit) / F.col("harmonic_sum_scaled")
+    v_empty = F.lit(m) - F.col("n_buckets")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.element_at(lc_arr, v_empty.cast("int")),
+    ).otherwise(raw)
+    return out.withColumn(
+        "estimate", F.floor(est * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)
+    )
+
+
+def approx_distinct_sql_twin(
+    table_expr: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> str:
+    """The DuckDB twin of :func:`approx_distinct_hll` — same hash, same
+    integer register math, same embedded linear-counting literals."""
+    m = 1 << p
+    wbits = 32 - p
+    K = 33 - p
+    c_lit = _alpha(m) * m * m * float(1 << K)
+    lc = ", ".join(repr(v) for v in linear_counting_table(p))
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby = ", ".join(group_cols) if group_cols else ""
+    gby_regs = f"GROUP BY {gsel}bucket".rstrip(", ")
+    gby_agg = f"GROUP BY {gby}" if gby else ""
+    return f"""
+WITH h AS (
+  SELECT {gsel}('0x' || substr(md5(({value_col})::VARCHAR), 1, 8))::BIGINT AS hv
+  FROM {table_expr}
+),
+b AS (
+  SELECT {gsel}hv // {1 << wbits} AS bucket,
+         CASE WHEN hv % {1 << wbits} = 0 THEN {wbits + 1}
+              ELSE {wbits + 1} - length(bin(hv % {1 << wbits})) END AS rho
+  FROM h
+),
+regs AS (
+  SELECT {gsel}bucket, max(rho) AS m_reg FROM b {gby_regs}
+),
+agg AS (
+  SELECT {gsel}count(*)::BIGINT AS n_buckets,
+         sum((1::BIGINT << ({K} - m_reg)))::BIGINT AS s_present
+  FROM regs {gby_agg}
+),
+s AS (
+  SELECT {gsel}n_buckets,
+         s_present + ({m} - n_buckets) * {1 << K} AS harmonic_sum_scaled
+  FROM agg
+),
+est AS (
+  SELECT {gsel}n_buckets, harmonic_sum_scaled,
+         CASE WHEN {c_lit!r} / harmonic_sum_scaled <= {2.5 * m!r}
+                   AND {m} - n_buckets > 0
+              THEN ([{lc}])[({m} - n_buckets)::INT]
+              ELSE {c_lit!r} / harmonic_sum_scaled END AS e
+  FROM s
+)
+SELECT {gsel}n_buckets, harmonic_sum_scaled,
+       floor(e * 1000.0 + 0.5) / 1000.0 AS estimate
+FROM est
+"""
