@@ -224,6 +224,33 @@ def run_bench(
 
     spatial_sec = sum(timings.values())
 
+    # Side leg (round-5 addition): the phash near-dup dedup stage over the
+    # SAME persisted features frame — exact-phash class collapse (groupBy
+    # over n_images rows) + banded pigeonhole pair join over the class
+    # representatives. Reported under "extra_ops", EXCLUDED from value/
+    # total so the headline stays comparable round-over-round; promote it
+    # into the main stage set when the next corpus version bump breaks
+    # comparability anyway.
+    extra_ops: dict[str, float] = {}
+
+    def stage_phash_dedup():
+        from gjspark.operators.dedup import phash_neardup_pairs
+
+        classes = (
+            state["feat"]
+            .filter(F.col("decode_ok"))
+            .groupBy(F.col("phash_decoded").alias("phash"))
+            .agg(F.min("image_id").alias("rep_id"))
+        )
+        phash_neardup_pairs(classes, phash_col="phash", id_col="rep_id").count()
+
+    for _ in range(reps):
+        t0 = time.time()
+        stage_phash_dedup()
+        extra_ops["phash_neardup"] = min(
+            extra_ops.get("phash_neardup", 1e18), round(time.time() - t0, 3)
+        )
+
     legacy_leg = None
     if legacy_path is not None:
         from gjspark.operators.cells import with_cell_columns
@@ -300,6 +327,8 @@ def run_bench(
     }
     if legacy_leg is not None:
         result["legacy_leg"] = legacy_leg
+    if extra_ops:
+        result["extra_ops"] = extra_ops
     if probe is not None:
         result["noise_probe"] = probe
     if "feat" in state:
