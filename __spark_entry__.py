@@ -282,6 +282,29 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + hash-sample membership
+    (operators/sampling.py): reproducible at any partitioning/cluster
+    size and stable under corpus growth — the property rand()/df.sample
+    cannot give. Row-level contract: the oracle recomputes every doc's
+    split and sample flag from the same md5 hash ranges in SQL."""
+    from gjspark.operators.sampling import deterministic_sample, hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    assigned = hash_split(d, "doc_id")
+    sampled = deterministic_sample(d, "doc_id", 0.05).select(
+        "doc_id", F.lit(True).alias("in_sample_5pct")
+    )
+    return (
+        assigned.join(sampled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("in_sample_5pct", F.lit(False)).alias("in_sample_5pct"),
+        )
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """HyperLogLog cardinality sketch (operators/sketches.py): pure
     Column expressions, mergeable registers, integer-exact sketch state
@@ -830,6 +853,23 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
 
 
+def _hash_split_oracle_sql() -> str:
+    """DuckDB twin of q_hash_split: the same md5 hash-range CASE and
+    sample cutoff (sampling.split_case_sql / sample cut) recomputed per
+    row in SQL."""
+    from gjspark.operators.sampling import _HASH_SPACE, split_case_sql
+
+    case = split_case_sql("doc_id")
+    cut = int(0.05 * _HASH_SPACE)
+    return f"""
+SELECT doc_id,
+       {case} AS split,
+       ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+         < {cut} AS in_sample_5pct
+FROM documents
+"""
+
+
 def _approx_distinct_oracle_sql() -> str:
     """DuckDB twin of q_approx_distinct: the same HLL register/estimator
     SQL (sketches.approx_distinct_sql_twin — same hash, same integer
@@ -1015,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_dedup_clusters": q_dedup_clusters,
         "q_approx_distinct": q_approx_distinct,
+        "q_hash_split": q_hash_split,
         "q_langid": q_langid,
         "q_winnow": q_winnow,
         "q_ivf_topk": q_ivf_topk,
@@ -1292,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": _simhash_oracle_sql(max_hamming=10),
         "q_dedup_clusters": _dedup_clusters_oracle_sql(max_hamming=3),
         "q_approx_distinct": _approx_distinct_oracle_sql(),
+        "q_hash_split": _hash_split_oracle_sql(),
         "q_winnow": _winnow_oracle_sql(),
         "q_langid": _langid_oracle_sql(),
         # IVF probing (trained quantizer) is not SQL-expressible; the
