@@ -539,6 +539,26 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_image_quality(spark, sf_dir):
+    """Image quality scoring (entropy/contrast/sharpness/colorfulness) —
+    the curation filter stage of an image training pipeline. Exact
+    integer accumulations per image (functions/quality.py) make the
+    distributed output bit-identical to the committed single-process
+    golden at any batching/partitioning (the q_decode pattern)."""
+    from gjspark.operators.image_quality import image_quality
+
+    fx = _fixtures()
+    imgs = spark.read.parquet(f"{fx}/images_sf_e2e.parquet")
+    return image_quality(imgs).filter(F.col("decode_ok")).select(
+        "image_id",
+        "fmt",
+        "entropy_bits",
+        "rms_contrast",
+        "sharpness",
+        "colorfulness",
+    )
+
+
 def q_preview(spark, sf_dir):
     from gjspark.operators.entities import nuts_config, preview
     from gjspark.sources.geojson import read_feature_collection
@@ -1069,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_rollup": q_tile_rollup,
         "q_mosaic": q_mosaic,
         "q_phash_neardup": q_phash_neardup,
+        "q_image_quality": q_image_quality,
         "q_preview": q_preview,
         "q_upsert": q_upsert,
         "q_upsert_equals": q_upsert_equals,
@@ -1261,6 +1282,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN classes ca ON c.id_a = ca.rep_id
             JOIN classes cb ON c.id_b = cb.rep_id
             WHERE bit_count(xor(pa, pb)) <= 7
+        """,
+        "q_image_quality": f"""
+            SELECT image_id, fmt, entropy_bits, rms_contrast, sharpness,
+                   colorfulness
+            FROM read_parquet('{fx}/expected_quality.parquet')
         """,
         "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",
         "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",

@@ -35,7 +35,7 @@ from gjspark.functions import gif as gifc
 from gjspark.functions import h3 as h3x, s2
 from gjspark.functions.crs import tm_forward
 
-VERSION = "v17"  # v17: + planted brightness near-dups (v16 added real GIF rows)
+VERSION = "v18"  # v18: + expected_quality golden (v17 planted brightness near-dups)
 # bench corpus version: bumps only when BENCH file content changes
 # (v14 added jpeg to the e2e cycle only — bench content is still v13's)
 BENCH_VERSION = "v13"
@@ -330,6 +330,34 @@ def oracle_knn(image_id, lat, lon, feats):
         "nearest_location_id": [ids[k] for k in best_i],
         "dist_m": np.round(best_d, 3),
     }
+
+
+def oracle_quality(image_id, blobs, fmts):
+    """Single-process golden for the image-quality metrics: decode each
+    image independently and run the SAME exact-integer metric kernel
+    (functions/quality.py) per image — pins the distributed pipeline's
+    plumbing (batching/partitioning independence), the q_decode
+    pattern."""
+    from gjspark.functions.quality import quality_metrics
+
+    cols = {"image_id": list(image_id), "fmt": list(fmts)}
+    ent, con, sha, cf = [], [], [], []
+    for b, f in zip(blobs, fmts):
+        img = C.decode_image(b, f)
+        e, c, s, c2 = quality_metrics(img)
+        ent.append(e)
+        con.append(c)
+        sha.append(s)
+        cf.append(c2)
+    cols.update(
+        {
+            "entropy_bits": np.array(ent, dtype=np.float64),
+            "rms_contrast": np.array(con, dtype=np.float64),
+            "sharpness": np.array(sha, dtype=np.float64),
+            "colorfulness": np.array(cf, dtype=np.float64),
+        }
+    )
+    return cols
 
 
 def oracle_images(image_id, blobs, fmts):
@@ -1125,6 +1153,10 @@ def ensure_fixtures(root: str = DEFAULT_DIR) -> str:
             _write_parquet(
                 os.path.join(root, "expected_images.parquet"),
                 oracle_images(cols["image_id"], cols["bytes"], cols["fmt"]),
+            )
+            _write_parquet(
+                os.path.join(root, "expected_quality.parquet"),
+                oracle_quality(cols["image_id"], cols["bytes"], cols["fmt"]),
             )
 
     with open(stamp, "w") as f:
