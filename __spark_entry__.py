@@ -262,6 +262,14 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus bigram statistics above a support threshold (the LM-corpus
+    n-gram counting step) — pure Column exprs, SQL twin in DuckDB."""
+    from gjspark.operators.text import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), n=2, min_count=20)
+
+
 def q_ann_topk(spark, sf_dir):
     from gjspark.operators.ann import brute_force_topk
 
@@ -1070,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_fingerprint": q_fingerprint,
         "q_token_counts": q_token_counts,
+        "q_ngram_counts": q_ngram_counts,
         "q_ann_topk": q_ann_topk,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
@@ -1215,6 +1224,19 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'
                    ))::BIGINT AS n_bpe_tokens
             FROM documents
+        """,
+        "q_ngram_counts": """
+            WITH t AS (
+              SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+              FROM documents
+            ),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(a)),
+                            i -> array_to_string(a[i:i+1], ' '))) AS ngram
+              FROM t WHERE len(a) >= 2
+            )
+            SELECT ngram, count(*) AS n FROM g
+            GROUP BY ngram HAVING count(*) >= 20
         """,
         "q_ann_topk": """
             WITH p AS (

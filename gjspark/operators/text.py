@@ -75,6 +75,36 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus n-gram statistics (the LM-corpus counting step): lowercase
+    whitespace tokens -> sliding word n-grams -> global counts above a
+    support threshold. Pure Column expressions (split / sequence /
+    transform / slice / explode) — JVM-side end to end; the explode fans
+    out map-side and the single shuffle carries partially-aggregated
+    (ngram, count) rows, which the min_count filter then prunes. At
+    10^12 rows the support threshold is what keeps the result bounded
+    (the classic Google n-gram pipeline shape)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def quality_filter(stats: DataFrame, min_tokens: int = 10, max_punct: float = 0.3) -> DataFrame:
     """Keep docs passing simple quality gates (C4-style heuristics)."""
     return stats.filter(

@@ -242,6 +242,29 @@ class TestText:
         )
 
 
+def test_ngram_counts(spark):
+    from gjspark.operators.text import ngram_counts
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b"),
+            (1, "A  B c"),   # case/whitespace normalize -> 'a b', 'b c'
+            (2, "solo"),     # shorter than n -> contributes nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["ngram"]: r["n"] for r in ngram_counts(df, n=2, min_count=1).collect()}
+    assert out == {"a b": 3, "b c": 2, "c a": 1}
+    top = {r["ngram"] for r in ngram_counts(df, n=2, min_count=2).collect()}
+    assert top == {"a b", "b c"}
+    tri = {r["ngram"]: r["n"] for r in ngram_counts(df, n=3, min_count=1).collect()}
+    assert tri == {"a b c": 2, "b c a": 1, "c a b": 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ngram_counts(df, n=0)
+
+
 def test_token_counts_bpe_ish(spark):
     from gjspark.operators.text import token_counts
 
