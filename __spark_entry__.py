@@ -547,6 +547,37 @@ def q_phash_neardup(spark, sf_dir):
     )
 
 
+def q_image_dedup_clusters(spark, sf_dir):
+    """The full image-dedup chain a LAION-style pipeline materializes:
+    phash near-dup PAIRS (q_phash_neardup's class-representative graph)
+    -> connected components -> one keeper per duplicate CLUSTER with the
+    cluster's total image count (class sizes summed over members).
+    Oracle: the phash pair SQL recomputed from the stored phash column
+    feeding the same recursive-CTE closure as q_dedup_clusters."""
+    from gjspark.functions import codecs as C
+    from gjspark.operators.cells import with_cell_columns
+    from gjspark.operators.dedup import connected_components, phash_neardup_pairs
+    from gjspark.operators.fused import decoded_features
+
+    fx = _fixtures()
+    imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
+    feats = decoded_features(imgs).filter(
+        F.col("decode_ok") & F.col("fmt").isin(sorted(C.LOSSLESS))
+    )
+    classes = feats.groupBy(F.col("phash_decoded").alias("phash")).agg(
+        F.min("image_id").alias("rep_id"), F.count("*").alias("class_size")
+    )
+    pairs = phash_neardup_pairs(classes, phash_col="phash", id_col="rep_id")
+    comp = connected_components(pairs)
+    members = comp.join(
+        classes.select(F.col("rep_id").alias("id"), "class_size"), "id"
+    )
+    return members.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_images"),
+    )
+
+
 def q_image_quality(spark, sf_dir):
     """Image quality scoring (entropy/contrast/sharpness/colorfulness) —
     the curation filter stage of an image training pipeline. Exact
@@ -1099,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mosaic": q_mosaic,
         "q_phash_neardup": q_phash_neardup,
         "q_image_quality": q_image_quality,
+        "q_image_dedup_clusters": q_image_dedup_clusters,
         "q_preview": q_preview,
         "q_upsert": q_upsert,
         "q_upsert_equals": q_upsert_equals,
@@ -1309,6 +1341,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, fmt, entropy_bits, rms_contrast, sharpness,
                    colorfulness
             FROM read_parquet('{fx}/expected_quality.parquet')
+        """,
+        # the full image-dedup chain recomputed from the stored phash
+        # column: pairs (as q_phash_neardup) -> recursive-CTE connected
+        # components -> per-cluster class/image counts
+        "q_image_dedup_clusters": f"""
+            WITH RECURSIVE imgs AS (
+              SELECT image_id, phash
+              FROM read_parquet('{fx}/images_sf_e2e.parquet')
+              WHERE fmt IN ('bmp', 'gif', 'png', 'ppm', 'webp')
+            ),
+            classes AS (
+              SELECT phash, min(image_id) AS rep_id, count(*) AS class_size
+              FROM imgs GROUP BY phash
+            ),
+            bands AS (
+              SELECT rep_id, phash, b, (phash >> (8 * b)) & 255 AS val
+              FROM classes, (SELECT unnest([0,1,2,3,4,5,6,7]) AS b) js
+            ),
+            cand AS (
+              SELECT DISTINCT l.rep_id AS id_a, r.rep_id AS id_b,
+                     l.phash AS pa, r.phash AS pb
+              FROM bands l
+              JOIN bands r ON l.b = r.b AND l.val = r.val
+                          AND l.rep_id < r.rep_id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM cand
+              WHERE bit_count(xor(pa, pb)) <= 7
+            ),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT u AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.u, reach.r FROM reach JOIN edges e ON e.v = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT comp.cluster_id,
+                   count(*)::BIGINT AS n_classes,
+                   sum(classes.class_size)::BIGINT AS n_images
+            FROM comp JOIN classes ON comp.id = classes.rep_id
+            GROUP BY comp.cluster_id
         """,
         "q_preview": f"SELECT * FROM read_parquet('{fx}/expected_preview.parquet')",
         "q_upsert": f"SELECT * FROM read_parquet('{fx}/expected_upsert.parquet')",
