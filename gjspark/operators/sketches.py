@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,13 +57,9 @@ def linear_counting_table(p: int = 8) -> list[float]:
     return [m * math.log(m / v) for v in range(1, m + 1)]
 
 
-def hll_registers(
-    df: DataFrame,
-    value_col: str,
-    group_cols: tuple[str, ...] = (),
-    p: int = 8,
-) -> DataFrame:
-    """-> one row per (group, bucket) with the max-rho register value.
+def bucket_rho_exprs(value_col: str, p: int = 8) -> tuple[Column, Column]:
+    """The (bucket, rho) Column pair shared by the batch register build
+    and the streaming windowed one (streaming/sketches.py).
 
     bucket = top ``p`` bits of the 32-bit hash; rho = 1 + number of
     leading zeros in the remaining ``32-p`` bits (1..33-p)."""
@@ -80,6 +76,17 @@ def hll_registers(
         .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
         .alias("rho")
     )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """-> one row per (group, bucket) with the max-rho register value."""
+    bucket, rho = bucket_rho_exprs(value_col, p)
     return (
         df.select(*group_cols, bucket, rho)
         .groupBy(*group_cols, "bucket")
@@ -87,24 +94,18 @@ def hll_registers(
     )
 
 
-def approx_distinct_hll(
-    df: DataFrame,
-    value_col: str,
+def estimate_from_registers(
+    regs: DataFrame,
     group_cols: tuple[str, ...] = (),
     p: int = 8,
 ) -> DataFrame:
-    """-> per group: (n_buckets, harmonic_sum_scaled, estimate).
-
-    estimate = alpha_m * m^2 / sum(2^-M[j]), with Flajolet's
-    small-range linear-counting correction when raw <= 2.5m and empty
-    registers exist. ``harmonic_sum_scaled`` = the exact integer
-    ``2^K * sum(2^-M)`` (K = 33-p) that the estimate divides into — kept
-    in the output so a regression anywhere in the register pipeline is
-    visible as an integer mismatch, not a float blur.
-    """
+    """Fold a register frame (group..., bucket, m_reg) into estimates —
+    the second half of :func:`approx_distinct_hll`, split out so
+    register frames from OTHER producers (the streaming windowed build,
+    a persisted register table, a union of per-day sketches max-merged
+    by bucket) reuse the identical estimator."""
     m = 1 << p
-    K = 33 - p  # max rho + ... scale exponent: 2^(K - M) >= 1 for M <= K
-    regs = hll_registers(df, value_col, group_cols, p)
+    K = 33 - p  # scale exponent: 2^(K - M) >= 1 for M <= K
     gb = regs.groupBy(*group_cols) if group_cols else regs.groupBy()
     agg = gb.agg(
         F.count("*").alias("n_buckets"),
@@ -130,6 +131,26 @@ def approx_distinct_hll(
     ).otherwise(raw)
     return out.withColumn(
         "estimate", F.floor(est * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)
+    )
+
+
+def approx_distinct_hll(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 8,
+) -> DataFrame:
+    """-> per group: (n_buckets, harmonic_sum_scaled, estimate).
+
+    estimate = alpha_m * m^2 / sum(2^-M[j]), with Flajolet's
+    small-range linear-counting correction when raw <= 2.5m and empty
+    registers exist. ``harmonic_sum_scaled`` = the exact integer
+    ``2^K * sum(2^-M)`` (K = 33-p) that the estimate divides into — kept
+    in the output so a regression anywhere in the register pipeline is
+    visible as an integer mismatch, not a float blur.
+    """
+    return estimate_from_registers(
+        hll_registers(df, value_col, group_cols, p), group_cols, p
     )
 
 

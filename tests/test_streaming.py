@@ -175,3 +175,57 @@ def test_streaming_ingest_resumes_from_checkpoint(spark, tmp_path):
     # coarse partition dirs exist on disk (directory-level pruning)
     parts = [p.name for p in out.iterdir() if p.name.startswith("h3_r5=")]
     assert parts
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL registers
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_registers_match_batch(spark, tmp_path):
+    """Windowed streaming register build -> estimate_from_registers must
+    equal the batch sketch over the same rows, per window."""
+    import datetime as dt
+
+    from gjspark.operators.sketches import (
+        approx_distinct_hll,
+        estimate_from_registers,
+    )
+    from gjspark.streaming.sketches import stream_hll_registers
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    for i in range(400):  # window A: 300 distinct users (100 repeated)
+        rows.append((f"e{i}", "ds1", t0 + dt.timedelta(seconds=i), float(i)))
+    for i in range(400):
+        rows[i] = (f"u{i % 300}", "ds1", rows[i][2], rows[i][3])
+    for i in range(150):  # window B: 150 distinct users
+        rows.append(
+            (f"u{i}", "ds1", t0 + dt.timedelta(hours=1, seconds=i), float(i))
+        )
+    p = str(tmp_path / "hll_in")
+    spark.createDataFrame(rows, SCHEMA).coalesce(2).write.parquet(p)
+
+    src = spark.readStream.schema(SCHEMA).parquet(p)
+    regs = stream_hll_registers(src, "obs_id", ts_col="t_start")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from hll_regs")
+    est = {
+        r["window_start"].hour: r["estimate"]
+        for r in estimate_from_registers(got, ("window_start",)).collect()
+    }
+
+    batch = spark.createDataFrame(rows, SCHEMA)
+    wa = batch.filter(F.col("t_start") < t0 + dt.timedelta(hours=1))
+    wb = batch.filter(F.col("t_start") >= t0 + dt.timedelta(hours=1))
+    ea = approx_distinct_hll(wa, "obs_id").collect()[0]["estimate"]
+    eb = approx_distinct_hll(wb, "obs_id").collect()[0]["estimate"]
+    assert est == {10: ea, 11: eb}
+    assert abs(ea / 300 - 1) < 0.26 and abs(eb / 150 - 1) < 0.26
