@@ -135,6 +135,21 @@ class TestConnectedComponents:
         out = self._cc(spark, edges)
         assert out == expected
 
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # a 64-node path is the worst diameter per edge count; the
+        # alternating-star iteration must collapse it in O(log n) rounds
+        # (max_iter=12 << 63 plain-propagation rounds)
+        from gjspark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+        )
+        out = {
+            r["id"]: r["component"]
+            for r in connected_components(df, max_iter=12).collect()
+        }
+        assert out == {i: 0 for i in range(65)}
+
     def test_cluster_sizes(self, spark):
         from gjspark.operators.dedup import dedup_clusters
 
