@@ -313,6 +313,27 @@ def q_hash_split(spark, sf_dir):
     )
 
 
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership, relationally (operators/sketches.py):
+    build set-bit positions from the train split's texts, probe every
+    doc — the 'seen in the previous crawl?' primitive. No driver-side
+    bitmap: the filter IS a <=m_bits-row position table and membership
+    is a position join. Row-level contract: train docs must all hit (no
+    false negatives, checkable because the whole construction is
+    deterministic); false positives land where both engines agree."""
+    from gjspark.operators.sampling import hash_split
+    from gjspark.operators.sketches import bloom_bits, bloom_membership
+
+    d = _t(spark, sf_dir, "documents")
+    split = hash_split(d, "doc_id")
+    train = split.filter(F.col("split") == "train")
+    bits = bloom_bits(train, "text", m_bits=4096, k=3)
+    mem = bloom_membership(d, bits, "text", "doc_id", m_bits=4096, k=3)
+    return mem.join(split.select("doc_id", "split"), "doc_id").select(
+        "doc_id", "bloom_hit", (F.col("split") == "train").alias("in_train")
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """HyperLogLog cardinality sketch (operators/sketches.py): pure
     Column expressions, mergeable registers, integer-exact sketch state
@@ -929,6 +950,28 @@ FROM documents
 """
 
 
+def _bloom_oracle_sql() -> str:
+    """DuckDB twin of q_bloom_filter: same split CASE picks the build
+    side, same position/bit-set/all-k rule (sketches.bloom_sql_twin)."""
+    from gjspark.operators.sampling import split_case_sql
+    from gjspark.operators.sketches import bloom_sql_twin
+
+    case = split_case_sql("doc_id")
+    twin = bloom_sql_twin(
+        build_expr=f"(SELECT * FROM documents WHERE ({case}) = 'train')",
+        probe_expr="documents",
+        value_col="text",
+        id_col="doc_id",
+        m_bits=4096,
+        k=3,
+    )
+    return f"""
+WITH m AS ({twin})
+SELECT m.doc_id, m.bloom_hit, ({case}) = 'train' AS in_train
+FROM m JOIN documents USING (doc_id)
+"""
+
+
 def _approx_distinct_oracle_sql() -> str:
     """DuckDB twin of q_approx_distinct: the same HLL register/estimator
     SQL (sketches.approx_distinct_sql_twin — same hash, same integer
@@ -1116,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_approx_distinct": q_approx_distinct,
         "q_hash_split": q_hash_split,
+        "q_bloom_filter": q_bloom_filter,
         "q_langid": q_langid,
         "q_winnow": q_winnow,
         "q_ivf_topk": q_ivf_topk,
@@ -1460,6 +1504,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": _dedup_clusters_oracle_sql(max_hamming=3),
         "q_approx_distinct": _approx_distinct_oracle_sql(),
         "q_hash_split": _hash_split_oracle_sql(),
+        "q_bloom_filter": _bloom_oracle_sql(),
         "q_winnow": _winnow_oracle_sql(),
         "q_langid": _langid_oracle_sql(),
         # IVF probing (trained quantizer) is not SQL-expressible; the

@@ -154,6 +154,140 @@ def approx_distinct_hll(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter membership (the crawl-dedup primitive: "was this id/url/
+# doc in the previous snapshot?") — formulated relationally: the filter
+# is a DataFrame of SET BIT POSITIONS (<= m_bits rows no matter how many
+# build rows), membership is a position join. No driver-side bitmap, no
+# collect; Spark broadcasts the position table when small and
+# shuffle-joins it when not — exactly the right physical plan at either
+# scale, chosen by AQE, not by us.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_cols(value_col: str, m_bits: int, k: int, salt: str):
+    """k deterministic bit positions per value: 32-bit md5-prefix hash of
+    '{salt}:{i}:{value}', low bits (m_bits is a power of two — the mod
+    is exact bit masking, no bias)."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:{i}:"), F.col(value_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(m_bits - 1))
+        for i in range(k)
+    ]
+
+
+def _check_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits < 2 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 2")
+    if not 1 <= k <= 16:
+        raise ValueError("k must be in [1, 16]")
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Build the filter: -> one-column frame ``pos`` of distinct set bit
+    positions. By construction <= m_bits rows (8 bytes each), whatever
+    the build-side row count — the shuffle is k x n position ints into a
+    distinct, then the result is a dimension table."""
+    _check_bloom_params(m_bits, k)
+    return (
+        df.select(
+            F.explode(F.array(*_bloom_pos_cols(value_col, m_bits, k, salt))).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_membership(
+    df: DataFrame,
+    bits: DataFrame,
+    value_col: str,
+    id_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Probe: -> (id, bloom_hit). A row hits iff ALL k of its positions
+    are set — guaranteed true for every value the filter was built from
+    (no false negatives); false-positive rate ~= (1 - e^(-k*n/m))^k.
+
+    Plan shape: explode k positions per probe row, left-semi-count join
+    against the bit table, hit = matched == k. The bit table broadcasts
+    when small; either way the probe side never moves its payload —
+    only (id, pos) pairs."""
+    _check_bloom_params(m_bits, k)
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(*_bloom_pos_cols(value_col, m_bits, k, salt))).alias(
+            "pos"
+        ),
+    )
+    hits = (
+        pos.join(bits.select(F.col("pos"), F.lit(1).alias("__set")), "pos", "left")
+        .groupBy("__id")
+        .agg((F.count("__set") == k).alias("bloom_hit"))
+    )
+    return hits.select(F.col("__id").alias(id_col), "bloom_hit")
+
+
+def bloom_sql_twin(
+    build_expr: str,
+    probe_expr: str,
+    value_col: str,
+    id_col: str,
+    m_bits: int,
+    k: int,
+    salt: str = "bloom",
+) -> str:
+    """DuckDB twin: same positions, same distinct-bit set, same all-k
+    membership rule."""
+    _check_bloom_params(m_bits, k)
+
+    def pos(i: int, v: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}:{i}:' || ({v})::VARCHAR), 1, 8))"
+            f"::BIGINT & {m_bits - 1})"
+        )
+
+    build_rows = " UNION ALL ".join(
+        f"SELECT {pos(i, value_col)} AS pos FROM {build_expr}" for i in range(k)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {id_col} AS pid, {pos(i, value_col)} AS pos FROM {probe_expr}"
+        for i in range(k)
+    )
+    return f"""
+WITH bits AS (SELECT DISTINCT pos FROM ({build_rows})),
+probe AS ({probe_rows}),
+hits AS (
+  SELECT probe.pid, count(bits.pos) = {k} AS bloom_hit
+  FROM probe LEFT JOIN bits USING (pos)
+  GROUP BY probe.pid
+)
+SELECT pid AS {id_col}, bloom_hit FROM hits
+"""
+
+
 def approx_distinct_sql_twin(
     table_expr: str,
     value_col: str,

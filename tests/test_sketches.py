@@ -97,3 +97,65 @@ class TestHLL:
         assert len(t) == 256
         assert t[255] == 0.0  # V = m -> ln(1) = 0
         assert t[0] == 256 * math.log(256.0)
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_band(self, spark):
+        from gjspark.operators.sketches import bloom_bits, bloom_membership
+
+        m_bits, k = 4096, 3
+        a = _ids(spark, 400, "a")          # build side
+        b = _ids(spark, 2000, "x")         # disjoint probe side
+        bits = bloom_bits(a, "val", m_bits, k)
+        assert bits.count() <= m_bits
+        hits_a = bloom_membership(
+            a.select(F.col("val").alias("id"), "val"), bits, "val", "id",
+            m_bits, k,
+        )
+        assert hits_a.filter(~F.col("bloom_hit")).count() == 0  # exact
+        hits_b = bloom_membership(
+            b.select(F.col("val").alias("id"), "val"), bits, "val", "id",
+            m_bits, k,
+        )
+        fp = hits_b.filter(F.col("bloom_hit")).count() / 2000
+        # expected (1 - e^(-kn/m))^k ~= 1.7%; 4x head room
+        assert fp < 0.07
+
+    def test_matches_duckdb_twin(self, spark):
+        from gjspark.operators.sketches import (
+            bloom_bits,
+            bloom_membership,
+            bloom_sql_twin,
+        )
+
+        df = _ids(spark, 300)
+        bits = bloom_bits(df, "val", 512, 4)
+        eng = {
+            r["id"]: r["bloom_hit"]
+            for r in bloom_membership(
+                _ids(spark, 600).select(F.col("val").alias("id"), "val"),
+                bits, "val", "id", 512, 4,
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE a AS SELECT concat('v', range) AS val FROM range(300)"
+        )
+        con.execute(
+            "CREATE TABLE b AS SELECT concat('v', range) AS id,"
+            " concat('v', range) AS val FROM range(600)"
+        )
+        twin = dict(
+            con.execute(
+                bloom_sql_twin("a", "b", "val", "id", 512, 4)
+            ).fetchall()
+        )
+        assert eng == twin
+
+    def test_param_validation(self, spark):
+        from gjspark.operators.sketches import bloom_bits
+
+        with pytest.raises(ValueError):
+            bloom_bits(_ids(spark, 10), "val", m_bits=1000)  # not a power of 2
+        with pytest.raises(ValueError):
+            bloom_bits(_ids(spark, 10), "val", k=0)
