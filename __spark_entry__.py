@@ -599,6 +599,25 @@ def q_image_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_cell_cap(spark, sf_dir):
+    """Geographic diversity capping: at most 3 images per H3 r7 cell,
+    deterministic keeper order (sampling.group_cap) — the stratification
+    step that stops hot cells dominating a geo-distributed training
+    corpus. Engine computes cells with the real H3 kernel; the oracle
+    ranks over the independently-derived committed cell golden."""
+    from gjspark.operators.cells import with_cell_columns
+    from gjspark.operators.sampling import group_cap
+
+    fx = _fixtures()
+    imgs = with_cell_columns(spark.read.parquet(f"{fx}/images_sf_e2e.parquet"))
+    return group_cap(
+        imgs.select("image_id", F.col("h3_r7").alias("cell")),
+        ("cell",),
+        "image_id",
+        3,
+    )
+
+
 def q_image_quality(spark, sf_dir):
     """Image quality scoring (entropy/contrast/sharpness/colorfulness) —
     the curation filter stage of an image training pipeline. Exact
@@ -1175,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phash_neardup": q_phash_neardup,
         "q_image_quality": q_image_quality,
         "q_image_dedup_clusters": q_image_dedup_clusters,
+        "q_cell_cap": q_cell_cap,
         "q_preview": q_preview,
         "q_upsert": q_upsert,
         "q_upsert_equals": q_upsert_equals,
@@ -1385,6 +1405,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, fmt, entropy_bits, rms_contrast, sharpness,
                    colorfulness
             FROM read_parquet('{fx}/expected_quality.parquet')
+        """,
+        # diversity cap re-ranked over the committed cell golden (the
+        # engine side computes cells with the real H3 kernel)
+        "q_cell_cap": f"""
+            SELECT image_id, cell FROM (
+              SELECT image_id, h3_r7 AS cell,
+                     row_number() OVER (PARTITION BY h3_r7
+                                        ORDER BY image_id) AS rn
+              FROM read_parquet('{fx}/expected_cells.parquet')
+            ) WHERE rn <= 3
         """,
         # the full image-dedup chain recomputed from the stored phash
         # column: pairs (as q_phash_neardup) -> recursive-CTE connected

@@ -94,6 +94,33 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def group_cap(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep at most ``k`` rows per key, deterministically (ascending
+    ``order_col`` — use a stable id). The diversity-capping step of a
+    corpus build: cap documents per domain, images per geographic cell,
+    near-dup classes per cluster — so no single hot key dominates the
+    training mix. One window shuffle on the key; at 10^12 rows prefer a
+    high-cardinality key (cells, domains) so partitions stay balanced —
+    for pathological keys, pre-aggregate with the same rule per
+    partition first (rank is monotone under concatenation of sorted
+    runs)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def sample_sql_twin(
     table_expr: str, id_col: str, fraction: float, salt: str = "sample"
 ) -> str:

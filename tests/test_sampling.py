@@ -88,3 +88,37 @@ class TestHashSplit:
             hash_split(_docs(spark, 10), "doc_id", {"a": 0.0, "b": 1.0})
         with pytest.raises(ValueError):
             hash_split(_docs(spark, 10), "doc_id", {})
+
+
+class TestGroupCap:
+    def test_caps_and_keeps_deterministic_order(self, spark):
+        from gjspark.operators.sampling import group_cap
+
+        df = spark.createDataFrame(
+            [(g, i) for g in ("a", "b") for i in range(10)]
+            + [("c", 0)],
+            "grp string, item long",
+        )
+        out = group_cap(df, ("grp",), "item", 3)
+        rows = sorted((r["grp"], r["item"]) for r in out.collect())
+        assert rows == [
+            ("a", 0), ("a", 1), ("a", 2),
+            ("b", 0), ("b", 1), ("b", 2),
+            ("c", 0),
+        ]
+
+    def test_partitioning_invariant(self, spark):
+        from gjspark.operators.sampling import group_cap
+
+        df = spark.createDataFrame(
+            [(i % 7, i) for i in range(200)], "grp long, item long"
+        )
+        a = sorted(map(tuple, group_cap(df.repartition(1), ("grp",), "item", 5).collect()))
+        b = sorted(map(tuple, group_cap(df.repartition(13), ("grp",), "item", 5).collect()))
+        assert a == b and len(a) == 35
+
+    def test_k_validation(self, spark):
+        from gjspark.operators.sampling import group_cap
+
+        with pytest.raises(ValueError):
+            group_cap(spark.range(5), ("id",), "id", 0)
