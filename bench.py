@@ -312,6 +312,17 @@ def run_bench(
                 dt = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, 1e18), dt)
 
+        # second side leg: the dedup clustering chain at sf (simhash
+        # pairs at the Hamming<=3 dedup threshold -> connected
+        # components) — iterative, so worth tracking; excluded from
+        # total like the phash leg
+        for _ in range(max(1, min(reps, 2))):
+            t0 = time.time()
+            qs["q_dedup_clusters"](spark, SF_DIR).count()
+            extra_ops["dedup_clusters"] = min(
+                extra_ops.get("dedup_clusters", 1e18), round(time.time() - t0, 3)
+            )
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "spatial-join + tile-assignment throughput",
