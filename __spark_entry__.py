@@ -954,17 +954,16 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 
 def _hash_split_oracle_sql() -> str:
     """DuckDB twin of q_hash_split: the same md5 hash-range CASE and
-    sample cutoff (sampling.split_case_sql / sample cut) recomputed per
-    row in SQL."""
-    from gjspark.operators.sampling import _HASH_SPACE, split_case_sql
+    sample-membership predicate (sampling.split_case_sql /
+    sample_predicate_sql — single sources, not hand-inlined copies)."""
+    from gjspark.operators.sampling import sample_predicate_sql, split_case_sql
 
     case = split_case_sql("doc_id")
-    cut = int(0.05 * _HASH_SPACE)
+    pred = sample_predicate_sql("doc_id", 0.05)
     return f"""
 SELECT doc_id,
        {case} AS split,
-       ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT
-         < {cut} AS in_sample_5pct
+       {pred} AS in_sample_5pct
 FROM documents
 """
 

@@ -244,7 +244,7 @@ def run_bench(
         )
         phash_neardup_pairs(classes, phash_col="phash", id_col="rep_id").count()
 
-    for _ in range(reps):
+    for _ in range(max(1, min(reps, 2))):  # min-of-2, like the other side legs
         t0 = time.time()
         stage_phash_dedup()
         extra_ops["phash_neardup"] = min(

@@ -20,6 +20,15 @@ floats appear only in the final per-image normalization, computed in a
 fixed operation order. The same function runs per image in the engine's
 batch and in the fixture oracle, so results are bit-identical at any
 batch size or partitioning (the r4 exact-kernel design, applied here).
+
+One residual float dependency: entropy sums np.log2 terms, and libm
+log2 is not guaranteed correctly rounded across platforms. Engine and
+golden always run in the same environment here (the generator stamps
+regenerate the golden alongside the code), so this cannot red a
+contract row in-sandbox; porting the golden to a different
+libm/numpy could flip a 6th decimal at a rounding boundary — regenerate
+the golden rather than debug it (same posture as the BLAS note in
+codecs.py).
 """
 
 from __future__ import annotations

@@ -60,7 +60,9 @@ def image_quality(images: DataFrame) -> DataFrame:
                     continue
                 ok[k] = True
                 vals[k] = quality_metrics(img)
-            out = pd.DataFrame(
+            # failed rows keep their NaN initialization; Arrow turns the
+            # NaNs into SQL nulls at the mapInPandas boundary
+            yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
                     "fmt": pdf["fmt"],
@@ -71,9 +73,6 @@ def image_quality(images: DataFrame) -> DataFrame:
                     "colorfulness": vals[:, 3],
                 }
             )
-            for c in ("entropy_bits", "rms_contrast", "sharpness", "colorfulness"):
-                out[c] = out[c].where(ok, None)
-            yield out
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         run, QUALITY_SCHEMA

@@ -23,20 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gjspark.functions.hashing import md5_prefix32, md5_prefix32_sql
+
 _HASH_BITS = 32
 _HASH_SPACE = 1 << _HASH_BITS
 
 
 def _hash32(col: Column, salt: str) -> Column:
-    """Deterministic 32-bit hash of (salt || ':' || value) — big-endian
-    integer of the first 8 hex chars of md5, as in sketches.py."""
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), col.cast("string"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    """Deterministic 32-bit hash of (salt || ':' || value)."""
+    return md5_prefix32(F.concat(F.lit(salt), F.lit(":"), col.cast("string")))
 
 
 def deterministic_sample(
@@ -121,15 +116,24 @@ def group_cap(
     )
 
 
+def sample_predicate_sql(
+    id_col: str, fraction: float, salt: str = "sample"
+) -> str:
+    """DuckDB boolean expression twinning
+    :func:`deterministic_sample`'s membership test — the single source
+    both filter-style twins and flag-style oracles build on."""
+    cut = int(fraction * _HASH_SPACE)
+    h = md5_prefix32_sql(f"'{salt}:' || ({id_col})::VARCHAR")
+    return f"{h} < {cut}"
+
+
 def sample_sql_twin(
     table_expr: str, id_col: str, fraction: float, salt: str = "sample"
 ) -> str:
-    """DuckDB twin of :func:`deterministic_sample`'s predicate."""
-    cut = int(fraction * _HASH_SPACE)
+    """DuckDB twin of :func:`deterministic_sample` (filter form)."""
     return (
         f"SELECT * FROM {table_expr} WHERE "
-        f"('0x' || substr(md5('{salt}:' || ({id_col})::VARCHAR), 1, 8))::BIGINT"
-        f" < {cut}"
+        f"{sample_predicate_sql(id_col, fraction, salt)}"
     )
 
 
@@ -142,9 +146,7 @@ def split_case_sql(
     if splits is None:
         splits = {"train": 8.0, "val": 1.0, "test": 1.0}
     total = float(sum(splits.values()))
-    h = (
-        f"('0x' || substr(md5('{salt}:' || ({id_col})::VARCHAR), 1, 8))::BIGINT"
-    )
+    h = md5_prefix32_sql(f"'{salt}:' || ({id_col})::VARCHAR")
     names = list(splits)
     acc = 0.0
     whens = []

@@ -39,6 +39,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gjspark.functions.hashing import md5_prefix32, md5_prefix32_sql
+
 
 def _alpha(m: int) -> float:
     if m == 16:
@@ -66,9 +68,7 @@ def bucket_rho_exprs(value_col: str, p: int = 8) -> tuple[Column, Column]:
     if not 4 <= p <= 24:
         raise ValueError("p must be in [4, 24]")
     wbits = 32 - p
-    h = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    h = md5_prefix32(F.col(value_col).cast("string"))
     bucket = F.shiftrightunsigned(h, wbits).alias("bucket")
     w = h.bitwiseAND(F.lit((1 << wbits) - 1))
     rho = (
@@ -170,21 +170,9 @@ def _bloom_pos_cols(value_col: str, m_bits: int, k: int, salt: str):
     '{salt}:{i}:{value}', low bits (m_bits is a power of two — the mod
     is exact bit masking, no bias)."""
     return [
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(f"{salt}:{i}:"), F.col(value_col).cast("string")
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .bitwiseAND(F.lit(m_bits - 1))
+        md5_prefix32(
+            F.concat(F.lit(f"{salt}:{i}:"), F.col(value_col).cast("string"))
+        ).bitwiseAND(F.lit(m_bits - 1))
         for i in range(k)
     ]
 
@@ -234,7 +222,13 @@ def bloom_membership(
     Plan shape: explode k positions per probe row, left-semi-count join
     against the bit table, hit = matched == k. The bit table broadcasts
     when small; either way the probe side never moves its payload —
-    only (id, pos) pairs."""
+    only (id, pos) pairs.
+
+    ``bits`` is re-deduplicated here, so naively UNIONed position
+    tables (the relational analogue of OR-ing bloom bitmaps — e.g.
+    day-1 and day-2 filters concatenated without a distinct) cannot
+    double-count a position and turn an inserted value into a false
+    negative."""
     _check_bloom_params(m_bits, k)
     pos = df.select(
         F.col(id_col).alias("__id"),
@@ -242,8 +236,9 @@ def bloom_membership(
             "pos"
         ),
     )
+    bits_d = bits.select("pos").distinct()
     hits = (
-        pos.join(bits.select(F.col("pos"), F.lit(1).alias("__set")), "pos", "left")
+        pos.join(bits_d.select(F.col("pos"), F.lit(1).alias("__set")), "pos", "left")
         .groupBy("__id")
         .agg((F.count("__set") == k).alias("bloom_hit"))
     )
@@ -264,10 +259,8 @@ def bloom_sql_twin(
     _check_bloom_params(m_bits, k)
 
     def pos(i: int, v: str) -> str:
-        return (
-            f"(('0x' || substr(md5('{salt}:{i}:' || ({v})::VARCHAR), 1, 8))"
-            f"::BIGINT & {m_bits - 1})"
-        )
+        h = md5_prefix32_sql(f"'{salt}:{i}:' || ({v})::VARCHAR")
+        return f"({h} & {m_bits - 1})"
 
     build_rows = " UNION ALL ".join(
         f"SELECT {pos(i, value_col)} AS pos FROM {build_expr}" for i in range(k)
@@ -307,7 +300,7 @@ def approx_distinct_sql_twin(
     gby_agg = f"GROUP BY {gby}" if gby else ""
     return f"""
 WITH h AS (
-  SELECT {gsel}('0x' || substr(md5(({value_col})::VARCHAR), 1, 8))::BIGINT AS hv
+  SELECT {gsel}{md5_prefix32_sql(f"({value_col})::VARCHAR")} AS hv
   FROM {table_expr}
 ),
 b AS (

@@ -159,3 +159,18 @@ class TestBloom:
             bloom_bits(_ids(spark, 10), "val", m_bits=1000)  # not a power of 2
         with pytest.raises(ValueError):
             bloom_bits(_ids(spark, 10), "val", k=0)
+
+    def test_unioned_filters_keep_no_false_negatives(self, spark):
+        """bits tables concatenated WITHOUT distinct (the relational
+        analogue of OR-ing bloom bitmaps) must not double-count
+        positions into false negatives (review finding)."""
+        from gjspark.operators.sketches import bloom_bits, bloom_membership
+
+        day1 = _ids(spark, 100, "a")
+        day2 = _ids(spark, 100, "b")
+        both = bloom_bits(day1, "val", 1024, 3).unionAll(
+            bloom_bits(day2, "val", 1024, 3)
+        )
+        probe = day1.unionAll(day2).select(F.col("val").alias("id"), "val")
+        out = bloom_membership(probe, both, "val", "id", 1024, 3)
+        assert out.filter(~F.col("bloom_hit")).count() == 0
