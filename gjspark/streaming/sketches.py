@@ -26,6 +26,54 @@ from pyspark.sql import functions as F
 from gjspark.operators.sketches import bucket_rho_exprs
 
 
+def stream_bloom_filter(
+    stream: DataFrame,
+    bits: DataFrame,
+    value_col: str,
+    id_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    salt: str = "bloom",
+    keep_hits: bool = False,
+) -> DataFrame:
+    """Probe a STREAM against a static Bloom bit table (stream-static
+    join): the streaming crawl-dedup gate — drop (default) or keep rows
+    whose value was in the previous snapshot the filter was built from.
+
+    The static side is the <= m_bits-row position table from
+    :func:`gjspark.operators.sketches.bloom_bits`; the probe is k
+    STATELESS stream-static left joins (one per hash) — no exploded
+    per-id re-aggregation, because a streaming groupBy would allocate a
+    state store, and the whole point over ``dropDuplicates`` is ZERO
+    state (dropDuplicates state grows with distinct keys seen; this is
+    map-side broadcast probing forever). False positives drop
+    ~(1-e^(-kn/m))^k of genuinely-new rows — the usual Bloom trade,
+    acceptable for crawl dedup, not for exactly-once accounting.
+
+    ``id_col`` is unused in the stateless formulation (kept for
+    signature parity with the batch probe)."""
+    from gjspark.operators.sketches import _bloom_pos_cols, _check_bloom_params
+
+    _check_bloom_params(m_bits, k)
+    del id_col  # stateless: no per-id re-aggregation needed
+    bits_d = bits.select("pos").distinct()
+    cols = list(stream.columns)
+    out = stream
+    pos_cols = _bloom_pos_cols(value_col, m_bits, k, salt)
+    hit = F.lit(True)
+    for i, pc in enumerate(pos_cols):
+        out = out.withColumn(f"__p{i}", pc).join(
+            bits_d.select(
+                F.col("pos").alias(f"__p{i}"), F.lit(1).alias(f"__s{i}")
+            ),
+            f"__p{i}",
+            "left",
+        )
+        hit = hit & F.col(f"__s{i}").isNotNull()
+    out = out.filter(hit if keep_hits else ~hit)
+    return out.select(*cols)
+
+
 def stream_hll_registers(
     stream: DataFrame,
     value_col: str,

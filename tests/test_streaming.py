@@ -229,3 +229,45 @@ def test_stream_hll_registers_match_batch(spark, tmp_path):
     eb = approx_distinct_hll(wb, "obs_id").collect()[0]["estimate"]
     assert est == {10: ea, 11: eb}
     assert abs(ea / 300 - 1) < 0.26 and abs(eb / 150 - 1) < 0.26
+
+
+def test_stream_bloom_filter_gate(spark, tmp_path):
+    """Stateless stream-static Bloom gate: rows whose text was in the
+    previous snapshot are dropped; all genuinely-new rows survive unless
+    they are bloom false positives (checked against the batch probe)."""
+    from gjspark.operators.sketches import bloom_bits, bloom_membership
+    from gjspark.streaming.sketches import stream_bloom_filter
+
+    snap = spark.createDataFrame(
+        [(f"old{i}",) for i in range(200)], "text string"
+    )
+    bits = bloom_bits(snap, "text", m_bits=4096, k=3)
+
+    rows = [(f"d{i}", f"old{i}" if i % 2 == 0 else f"new{i}") for i in range(100)]
+    p = str(tmp_path / "bloom_in")
+    spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+        2
+    ).write.parquet(p)
+    src = spark.readStream.schema("doc_id string, text string").parquet(p)
+
+    q = (
+        stream_bloom_filter(src, bits, "text", "doc_id", m_bits=4096, k=3)
+        .writeStream.format("memory")
+        .queryName("bloom_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"] for r in spark.sql("select * from bloom_gate").collect()}
+    # every snapshot text dropped (no false negatives)
+    assert all(not t.startswith("old") for t in got.values())
+    # survivors == exactly the batch probe's non-hits (false positives agree)
+    batch = spark.createDataFrame(rows, "doc_id string, text string")
+    expect = {
+        r["doc_id"]
+        for r in bloom_membership(batch, bits, "text", "doc_id", 4096, 3)
+        .filter(~F.col("bloom_hit"))
+        .collect()
+    }
+    assert set(got) == expect
