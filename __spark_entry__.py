@@ -3,11 +3,13 @@
 ``entry(spark)`` smoke-runs the flagship query at sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2 as a
 (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives a DuckDB
-oracle for EVERY query (35/35): full SQL second implementations for the
-LSH/text pipelines, brute-force SQL for the embedding ops, pure-Python
-goldens (committed parquet) where templates/geometry are not
-SQL-expressible, and for IVF a pinned neighbor golden whose cosine
-values DuckDB re-derives from the raw embeddings.
+oracle for EVERY query (45/45): full SQL second implementations for the
+LSH/text/sketch/sampling pipelines (incl. a recursive-CTE connected-
+components closure and literal-table HLL/Bloom twins), brute-force SQL
+for the embedding ops, pure-Python goldens (committed parquet) where
+templates/geometry/codecs are not SQL-expressible, and for IVF a pinned
+neighbor golden whose cosine values DuckDB re-derives from the raw
+embeddings.
 """
 
 from __future__ import annotations
