@@ -32,9 +32,12 @@ _TOPK_SCHEMA = T.StructType(
 
 
 def _collect_normalized(index: DataFrame, id_col: str, vec_col: str):
-    rows = index.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    # Arrow path (toPandas) instead of row-based collect(): the index pull
+    # is driver-side either way, but Arrow moves the list<float> column as
+    # one columnar buffer (~3x faster at 20k x 64)
+    pdf = index.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
@@ -55,6 +58,18 @@ def brute_force_topk(
     spark = queries.sparkSession
     ids, mat = _collect_normalized(index, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, mat))
+
+    # degenerate-split guard (same rationale as minhash_lsh_pairs): a
+    # single-file parquet scan is ONE input split, which serializes the
+    # (n_queries x n_index) BLAS matmul on one core — measured 18-49 s for
+    # 20k x 20k x 64 at sf1.0 vs ~2 s spread over 32 tasks. Real lake
+    # tables split by target-file-size, so this repartition is a no-op at
+    # scale; per-row results are independent, so partitioning cannot
+    # change values.
+    parallelism = spark.sparkContext.defaultParallelism
+    queries = queries.select(id_col, vec_col)
+    if queries.rdd.getNumPartitions() < parallelism:
+        queries = queries.repartition(parallelism)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iids, imat = bc.value
@@ -88,7 +103,7 @@ def brute_force_topk(
                 }
             )
 
-    return queries.select(id_col, vec_col).mapInPandas(run, _TOPK_SCHEMA)
+    return queries.mapInPandas(run, _TOPK_SCHEMA)
 
 
 def train_centroids(

@@ -213,6 +213,11 @@ def minhash_lsh_pairs(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
+    # NOT materialized: an A/B at sf1.0 (min of interleaved runs) read
+    # 14.1s recompute-both-sides vs 22.1s localCheckpoint (RDD-backed
+    # frames lose size statistics, demoting the verify joins from
+    # broadcast to sort-merge) vs 15.0s persist — the duplicated
+    # signature pass is cheaper than what materialization costs here.
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_udf(n_hashes, shingle_k)(F.col(text_col)).alias("sig"),
@@ -346,6 +351,11 @@ def simhash_pairs(
     16-bit band (pigeonhole), so the band equi-join finds all of them;
     ``bit_count(a XOR b)`` verifies JVM-side.
     """
+    # NOT materialized: the banded self-join does evaluate the simhash UDF
+    # on both sides, but an interleaved A/B at sf1.0 read none 8.54s /
+    # localCheckpoint 8.81s / persist 8.57s (min of 3) — the duplicated
+    # pass is as cheap as materializing, and keeping the Catalyst subtree
+    # preserves size statistics for the join planner.
     sh = df.select(
         F.col(id_col).alias("id"), simhash_udf()(F.col(text_col)).alias("sim")
     )
@@ -360,23 +370,39 @@ def simhash_pairs(
         "id", "sim", F.col("b.bno").alias("bno"), F.col("b.bval").alias("bval")
     )
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    # Two r6 optimizations, both result-preserving:
+    #
+    # 1. Hamming filter INSIDE the join stage (was: after a dropDuplicates
+    #    exchange of every band collision — measured 43.9M rows at sf1.0,
+    #    one 16-bit bucket holding 3151 docs). hamming is a pure function
+    #    of the pair, so filtering first cannot change the surviving set.
+    # 2. First-matching-band dedup instead of dropDuplicates: a pair that
+    #    collides in several bands is emitted only from its lowest-
+    #    numbered matching band — band j matches iff the j-th 16-bit chunk
+    #    of sa XOR sb is zero, computable from the row itself — so every
+    #    qualifying pair appears exactly once with ZERO dedup exchange.
+    #    At max_hamming=10/sf1.0 the output is 22.3M pairs; dropDuplicates
+    #    was a 22M-row shuffle for nothing.
+    x = F.col("l.sim").bitwiseXOR(F.col("r.sim"))
+    chunk = [
+        F.shiftrightunsigned(x, 16 * j).bitwiseAND(F.lit(0xFFFF)) for j in range(3)
+    ]
+    lower_differ = (
+        F.when(F.col("bno") == 0, F.lit(True))
+        .when(F.col("bno") == 1, chunk[0] != 0)
+        .when(F.col("bno") == 2, (chunk[0] != 0) & (chunk[1] != 0))
+        .otherwise((chunk[0] != 0) & (chunk[1] != 0) & (chunk[2] != 0))
+    )
+    return (
         l.join(r, on=["bno", "bval"])
         .filter(F.col("l.id") < F.col("r.id"))
+        .filter(lower_differ)
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sim").alias("sa"),
-            F.col("r.sim").alias("sb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+            F.bit_count(x).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
@@ -621,10 +647,25 @@ def phash_neardup_pairs(
     right = exploded.select(
         "band", "val", F.col("id").alias("id_b"), F.col("ph").alias("ph_b")
     )
+    # first-matching-band dedup (see simhash_pairs): emit a pair only from
+    # its lowest matching band — band j matches iff byte j of ph_a XOR
+    # ph_b is zero — so multi-band collisions never need a dropDuplicates
+    # exchange; every filter runs inside the join's codegen stage.
+    x = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+    chunk = [
+        F.shiftrightunsigned(x, width * j).bitwiseAND(F.lit(mask))
+        for j in range(n_bands - 1)
+    ]
+    lower_differ = F.when(F.col("band") == 0, F.lit(True))
+    acc = None
+    for j in range(1, n_bands):
+        cond = chunk[j - 1] != 0 if acc is None else acc & (chunk[j - 1] != 0)
+        acc = cond
+        lower_differ = lower_differ.when(F.col("band") == j, cond)
     return (
         left.join(right, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr("bit_count(ph_a ^ ph_b)").alias("hamming"))
+        .filter(lower_differ.otherwise(F.lit(False)))
+        .select("id_a", "id_b", F.bit_count(x).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )

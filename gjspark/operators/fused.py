@@ -280,12 +280,14 @@ def mosaic_from_features(
       ``feat`` is unpersisted — probing ``feat`` itself would run the
       whole decode ``mapInPandas`` a second time just to count rows.
     """
+    n_rows = None
     if combine is None:
         src = probe if probe is not None else feat
         row = src.agg(
             F.count("*").alias("n"), F.approx_count_distinct("cell").alias("c")
         ).first()
         nparts = max(feat.rdd.getNumPartitions(), 1)
+        n_rows = row["n"]
         # break-even = partial_bytes / compressed_thumb_bytes, which is
         # corpus-dependent (~15 photographic .. ~150 synthetic); 64 is the
         # geometric middle. Both plans are byte-identical, so a wrong
@@ -327,8 +329,16 @@ def mosaic_from_features(
         # corpus-sized thumb exchange into a handful of fat partitions and
         # idles most of the cluster in the Python merge stage (measured
         # 2-5x slower). 8 partitions per core keeps merge tasks small and
-        # straggler-resistant at any cluster size.
-        n_parts = max(8 * feat.sparkSession.sparkContext.defaultParallelism, 64)
+        # straggler-resistant at any cluster size — but scale it DOWN when
+        # the row count (known from the combine probe) says the corpus is
+        # small: 256 near-empty Python merge tasks for 20k thumbs is pure
+        # scheduling overhead (guide §2: scale-adaptive partitioning, not
+        # a constant tuned to one layout). Output is byte-identical at any
+        # partitioning (per-cell integer sums; equality pytest-asserted).
+        par = feat.sparkSession.sparkContext.defaultParallelism
+        n_parts = max(8 * par, 64)
+        if n_rows is not None:
+            n_parts = min(n_parts, max(par, 1 + n_rows // 2000))
         return (
             feat.select("cell", "thumb")
             .repartition(n_parts, F.col("cell"))
