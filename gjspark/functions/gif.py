@@ -72,56 +72,105 @@ def _read_subblocks(data: bytes, off: int) -> tuple[bytes, int]:
         off += n
 
 
+def _lzw_codes(word: np.ndarray, pos: int, min_code_size: int, total_bits: int):
+    """Vectorized extraction of every code from bit offset ``pos`` to the
+    end of the stream, assuming no intervening CLEAR code.
+
+    The GIF code-width schedule between clears is deterministic: the
+    first code is read at ``min_code_size + 1`` bits and adds no table
+    entry; every later code adds exactly one entry, and the width bumps
+    when the table size reaches ``1 << width`` (capped at 12). So the bit
+    offset of the k-th code is a pure function of k — all codes can be
+    gathered with one cumsum + one shift/mask pass instead of reading
+    bits one numpy scalar at a time (the old reader cost ~10 us/code;
+    this is the GIF half of the decode_fused cost center). The caller
+    rescans from the first CLEAR it finds, so correctness never depends
+    on the no-clear assumption.
+
+    Returns (codes int64 array, end_offsets int64 array) — end_offsets[i]
+    is the bit position just after code i.
+    """
+    clear = 1 << min_code_size
+    w0 = min_code_size + 1
+    chunks = [np.full(1 + max(0, (1 << w0) - (clear + 2)), w0, np.int64)]
+    for w in range(w0 + 1, 12):
+        chunks.append(np.full(1 << (w - 1), w, np.int64))
+    # width 12 until the next clear; cap by the bits actually remaining
+    n12 = max(0, (total_bits - pos) // 12 + 1)
+    chunks.append(np.full(n12, 12, np.int64))
+    widths = np.concatenate(chunks)
+    ends = pos + np.cumsum(widths)
+    valid = ends <= total_bits
+    widths, ends = widths[valid], ends[valid]
+    offs = ends - widths
+    byte_i = offs >> 3
+    sh = (offs & 7).astype(np.uint32)
+    codes = (word[byte_i] >> sh) & ((np.uint32(1) << widths.astype(np.uint32)) - 1)
+    return codes.astype(np.int64), ends
+
+
 def _lzw_decode(blob: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     """Variable-width LZW (GIF flavor) -> uint8 index array."""
     if not 2 <= min_code_size <= 11:
         raise _err(f"bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
-    # bit reader over the whole blob at once
-    bits = np.unpackbits(
-        np.frombuffer(blob, dtype=np.uint8)[:, None], axis=1, bitorder="little"
-    ).ravel()
-    pos = 0
-    width = min_code_size + 1
+    total_bits = len(blob) * 8
+    # word[i] = 24 stream bits starting at byte i (LSB-first order), so a
+    # code at bit offset p is one shift+mask away: max width 12 + max
+    # in-byte shift 7 = 19 bits needed
+    b = np.frombuffer(blob, dtype=np.uint8)
+    pad = np.concatenate([b, np.zeros(2, np.uint8)]).astype(np.uint32)
+    word = pad[:-2] | (pad[1:-1] << np.uint32(8)) | (pad[2:] << np.uint32(16))
     # dictionary as python lists of bytes (rebuilt on clear)
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
     table = list(base)
     out = bytearray()
     prev: bytes | None = None
-    total_bits = len(bits)
-    while True:
-        if pos + width > total_bits:
+    pos = 0
+    done = False
+    while not done:
+        if pos + (min_code_size + 1) > total_bits:
             raise _err("LZW stream ran out of bits")
-        code = 0
-        for i in range(width):
-            code |= int(bits[pos + i]) << i
-        pos += width
-        if code == clear:
-            table = list(base)
-            width = min_code_size + 1
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if prev is None:
-            if code >= len(table):
-                raise _err("first LZW code out of range")
-            entry = table[code]
-        else:
-            if code < len(table):
+        codes, ends = _lzw_codes(word, pos, min_code_size, total_bits)
+        if not len(codes):
+            raise _err("LZW stream ran out of bits")
+        # first CLEAR/EOI in this speculative chunk bounds the valid slice
+        special = np.flatnonzero((codes == clear) | (codes == eoi))
+        stop = int(special[0]) if len(special) else len(codes)
+        # sequential dictionary expansion over plain ints — no width or
+        # clear/eoi handling needed inside the hot loop
+        for code in codes[:stop].tolist():
+            if prev is None:
+                if code >= len(table):
+                    raise _err("first LZW code out of range")
                 entry = table[code]
-            elif code == len(table):
-                entry = prev + prev[:1]
             else:
-                raise _err("LZW code out of range")
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
-                width += 1
-        out += entry
-        prev = entry
-        if len(out) >= n_pixels:
+                lt = len(table)
+                if code < lt:
+                    entry = table[code]
+                elif code == lt:
+                    entry = prev + prev[:1]
+                else:
+                    raise _err("LZW code out of range")
+                table.append(prev + entry[:1])
+            out += entry
+            prev = entry
+            if len(out) >= n_pixels:
+                done = True
+                break
+        if done:
             break
+        if not len(special):
+            # chunk exhausted without clear/eoi: the stream genuinely ran
+            # out of bits before yielding enough pixels
+            raise _err("LZW stream ran out of bits")
+        if codes[stop] == eoi:
+            break
+        # CLEAR: reset and re-extract from just after it
+        table = list(base)
+        prev = None
+        pos = int(ends[stop])
     if len(out) < n_pixels:
         raise _err("LZW output short of pixel count")
     return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)

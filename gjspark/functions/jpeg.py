@@ -629,7 +629,14 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
                 "ac_lut": huff_lut[(1, ta)][0],
                 "ac_fast": huff_lut[(1, ta)][1],
                 "nblk": c["h"] * c["v"],
-                "coeffs": [],
+                # sparse coefficient accumulation: flat (zigzag pos, value)
+                # streams + per-block nonzero counts, scattered into the
+                # dense (nblk, 64) array ONCE per component after the scan
+                # — replaces a [0]*64 list alloc + 64-slot list->numpy
+                # conversion per block (was ~12% of decode time)
+                "pos": [],
+                "val": [],
+                "nnz": [],
             }
         )
 
@@ -658,9 +665,11 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
         for si, sc in enumerate(scan):
             dc_fast = sc["dc_fast"]
             ac_fast = sc["ac_fast"]
-            coeffs = sc["coeffs"]
+            pos_app = sc["pos"].append
+            val_app = sc["val"].append
+            nnz_app = sc["nnz"].append
             for _ in range(sc["nblk"]):
-                zz = [0] * 64
+                cnt = 0
                 if nb < 16:
                     acc = ((acc << 16) | (ent[bp] << 8) | ent[bp + 1]) & 0xFFFFFFFF
                     bp += 2
@@ -687,7 +696,10 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
                     if v < (1 << (size - 1)):
                         v += 1 - (1 << size)
                     prev_dc[si] += v
-                zz[0] = prev_dc[si]
+                if prev_dc[si]:
+                    pos_app(0)
+                    val_app(prev_dc[si])
+                    cnt = 1
                 kk = 1
                 while kk < 64:
                     if nb < 16:
@@ -704,7 +716,9 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
                             kk += (e >> 12) & 0xF
                             if kk > 63:
                                 raise ValueError("AC coefficient index out of range")
-                            zz[kk] = v
+                            pos_app(kk)
+                            val_app(v)
+                            cnt += 1
                             kk += 1
                         elif e & 0xF000:  # ZRL: exactly 16 zeros
                             kk += 16
@@ -734,18 +748,26 @@ def _decode_scan(data, pos, frame, scomps, quant, huff_lut, restart_interval):
                         nb -= size
                         if v < (1 << (size - 1)):
                             v += 1 - (1 << size)
-                        zz[kk] = v
+                        pos_app(kk)
+                        val_app(v)
+                        cnt += 1
                         kk += 1
-                coeffs.append(zz)
+                nnz_app(cnt)
 
     # batched per-image dequant + IDCT + assembly per component
     planes = []
     for sc in scan:
         c = sc["comp"]
         q = quant[c["tq"]]
-        blocks = np.array(sc["coeffs"], dtype=np.int64)[:, _UNZIGZAG].reshape(
-            -1, 8, 8
-        )
+        # sparse -> dense scatter in natural order: the zigzag position k
+        # lands at natural index _ZIGZAG[k] (argsort of argsort inverts
+        # the _UNZIGZAG gather the dense path used)
+        nnz = np.asarray(sc["nnz"], dtype=np.int64)
+        dense = np.zeros((len(nnz), 64), dtype=np.int64)
+        if sc["pos"]:
+            bi = np.repeat(np.arange(len(nnz)), nnz)
+            dense[bi, _ZIGZAG[np.asarray(sc["pos"])]] = np.asarray(sc["val"])
+        blocks = dense.reshape(-1, 8, 8)
         coeff = blocks.astype(np.float64) * q[None, :, :]
         spatial = _D8.T @ coeff @ _D8 + 128.0
         # reassemble the component's sampling grid: blocks arrive MCU-major

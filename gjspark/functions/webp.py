@@ -83,17 +83,29 @@ class _BitWriter:
 class _BitReader:
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
+        # zero-padded window buffer: lets symbol reads gather 3 bytes with
+        # three indexes instead of bit-at-a-time loops (reads past the end
+        # decode the same way the old per-bit reader's implicit zeros did)
+        self.pdata = data + b"\x00\x00\x00\x00"
+        self.nbits = len(data) * 8
         self.bit = pos * 8
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for i in range(nbits):
-            byte = self.bit >> 3
-            if byte >= len(self.data):
-                raise ValueError("truncated VP8L stream")
-            v |= ((self.data[byte] >> (self.bit & 7)) & 1) << i
-            self.bit += 1
-        return v
+        bit = self.bit
+        if bit + nbits > self.nbits:
+            # same condition as the old per-bit loop: any consumed bit
+            # index past the stream end is an error
+            raise ValueError("truncated VP8L stream")
+        p = self.pdata
+        byte = bit >> 3
+        w = (
+            p[byte]
+            | (p[byte + 1] << 8)
+            | (p[byte + 2] << 16)
+            | (p[byte + 3] << 24)
+        ) >> (bit & 7)
+        self.bit = bit + nbits
+        return w & ((1 << nbits) - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -131,23 +143,27 @@ class _Code:
     bits — windowed at the code's actual max length, which makes the
     short code-length codes ~7x cheaper to read."""
 
-    __slots__ = ("single", "lut", "lengths", "maxlen")
+    __slots__ = ("single", "lut", "lengths", "maxlen", "mask")
 
     def __init__(self, single: int | None, lut: list[int] | None, lengths):
         self.single = single
         self.lut = lut
         self.lengths = lengths
         self.maxlen = max((ln for ln in lengths if ln), default=0) if lut else 0
+        self.mask = (1 << self.maxlen) - 1
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        data, bit = br.data, br.bit
-        w = 0
-        for i in range(self.maxlen):
-            byte = (bit + i) >> 3
-            if byte < len(data):
-                w |= ((data[byte] >> ((bit + i) & 7)) & 1) << i
+        bit = br.bit
+        p = br.pdata
+        byte = bit >> 3
+        # 3-byte gather (maxlen <= 15 + shift <= 7 = 22 bits); the zero
+        # padding reproduces the old per-bit loop's implicit zeros past
+        # the stream end
+        w = (
+            (p[byte] | (p[byte + 1] << 8) | (p[byte + 2] << 16)) >> (bit & 7)
+        ) & self.mask
         e = self.lut[w]
         if e == 0:
             raise ValueError("invalid VP8L prefix code")
