@@ -536,7 +536,7 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    E = E.localCheckpoint()
+    E = E.localCheckpoint(eager=False)  # materialized by the _sig action
     prev = _sig(E)
     if prev[0] == 0:
         return E.sparkSession.createDataFrame(
@@ -549,13 +549,17 @@ def connected_components(
         # large-star: symmetrize, m(u) = min over G(u)+{u}, attach v>u to m
         sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        # r6: no .distinct() here — duplicate (u, v) rows are harmless to
+        # the small-star groupBy-min and join below, and the round's final
+        # distinct dedups anyway; dropping it removes one exchange per
+        # round (the round-count-x-exchange product is what CC's wall
+        # clock is made of at moderate edge counts).
         ls = (
             sym.join(mins, "u")
             .withColumn("m", F.least(F.col("u"), F.col("mn")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: edges out of large-star already point larger->smaller
         mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
@@ -566,7 +570,10 @@ def connected_components(
             .filter(F.col("a") != F.col("b"))
             .select(F.col("a").alias("u"), F.col("b").alias("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy: the _sig action right below materializes the
+            # checkpoint — eager=True would run a second, separate job
+            # over the same round (two actions per round -> one)
+            .localCheckpoint(eager=False)
         )
         cur = _sig(E)
         if cur == prev:
