@@ -136,10 +136,53 @@ def pip_join(
     if cell_col is None:
         cell_col = f"h3_r{res}"
     cover = polygon_cover(features, res)
+
+    if broadcast_cover:
+        # r6: geometries ship ONCE as an sc.broadcast dict instead of
+        # riding every candidate row through the join and the Arrow
+        # boundary (each candidate previously carried its polygon's full
+        # WKB — guide §2.3: move keys, not payloads). The features side
+        # is the dimension table (same collect pattern as knn_join_map);
+        # the cover join now carries only (cell, feature_id).
+        spark = images.sparkSession
+        geo_rows = features.select("feature_id", "geometry").collect()
+        wkb_by_id = {
+            r["feature_id"]: bytes(r["geometry"])
+            for r in geo_rows
+            if r["geometry"] is not None
+        }
+        bc = spark.sparkContext.broadcast(wkb_by_id)
+
+        cand = images.select(
+            "image_id", "lat", "lon", F.col(cell_col).alias("cell")
+        ).join(F.broadcast(cover), "cell")
+
+        def refine_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wkbs = bc.value
+            cache: dict[str, G.PolygonSet] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keep = np.zeros(len(pdf), dtype=bool)
+                lon = pdf["lon"].to_numpy(dtype=float)
+                lat = pdf["lat"].to_numpy(dtype=float)
+                for fid, grp in pdf.groupby("feature_id", sort=False):
+                    ps = cache.get(fid)
+                    if ps is None:
+                        ps = G.PolygonSet([fid], [wkbs[fid]])
+                        cache[fid] = ps
+                    pos = pdf.index.get_indexer(grp.index.to_numpy())
+                    keep[pos] = ps.contains(lon[pos], lat[pos])[0]
+                out = pdf.loc[keep, ["image_id", "feature_id"]]
+                if len(out):
+                    yield out
+
+        return cand.mapInPandas(refine_bc, _PIP_REFINE_SCHEMA)
+
+    # bucketed variant (huge polygon sets): no driver collect — geometry
+    # travels with the cover rows through the shuffle equi-join
     geom = features.select("feature_id", "geometry")
     cover_geo = cover.join(geom, "feature_id")  # small x small
-    if broadcast_cover:
-        cover_geo = F.broadcast(cover_geo)
 
     cand = images.select("image_id", "lat", "lon", F.col(cell_col).alias("cell")).join(
         cover_geo, "cell"
