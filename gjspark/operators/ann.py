@@ -59,17 +59,13 @@ def brute_force_topk(
     ids, mat = _collect_normalized(index, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, mat))
 
-    # degenerate-split guard (same rationale as minhash_lsh_pairs): a
-    # single-file parquet scan is ONE input split, which serializes the
-    # (n_queries x n_index) BLAS matmul on one core — measured 18-49 s for
-    # 20k x 20k x 64 at sf1.0 vs ~2 s spread over 32 tasks. Real lake
-    # tables split by target-file-size, so this repartition is a no-op at
-    # scale; per-row results are independent, so partitioning cannot
-    # change values.
-    parallelism = spark.sparkContext.defaultParallelism
-    queries = queries.select(id_col, vec_col)
-    if queries.rdd.getNumPartitions() < parallelism:
-        queries = queries.repartition(parallelism)
+    from gjspark.operators.partitioning import spread_degenerate_scan
+
+    # degenerate-split guard: a single-split scan serializes the
+    # (n_queries x n_index) BLAS matmul on one core — measured 18-49 s
+    # for 20k x 20k x 64 at sf1.0 vs ~1-4 s spread. No-op at scale;
+    # per-row results are independent of partitioning.
+    queries = spread_degenerate_scan(queries.select(id_col, vec_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iids, imat = bc.value

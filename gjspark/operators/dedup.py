@@ -204,15 +204,13 @@ def minhash_lsh_pairs(
     the operator reproducible in the DuckDB oracle (see
     ``__spark_entry__``).
     """
+    from gjspark.operators.partitioning import spread_degenerate_scan
+
     rows_per_band = n_hashes // bands
-    # degenerate-split guard: a single-file parquet scan is ONE input
-    # split, which would serialize the CPU-heavy signature/shingle UDFs
-    # on one core. Real lake tables split by target-file-size, so this
-    # repartition is a no-op at scale and a cheap text fan-out on toy
-    # inputs (never a planned full-corpus shuffle).
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    # degenerate-split guard: serializing the signature/shingle UDFs and
+    # the band join on 1-2 scan splits is the failure mode the
+    # partitioning module documents; no-op at scale
+    df = spread_degenerate_scan(df)
     # NOT materialized: an A/B at sf1.0 (min of interleaved runs) read
     # 14.1s recompute-both-sides vs 22.1s localCheckpoint (RDD-backed
     # frames lose size statistics, demoting the verify joins from
@@ -351,6 +349,13 @@ def simhash_pairs(
     16-bit band (pigeonhole), so the band equi-join finds all of them;
     ``bit_count(a XOR b)`` verifies JVM-side.
     """
+    from gjspark.operators.partitioning import spread_degenerate_scan
+
+    # degenerate-split guard: because the banded self-join broadcasts one
+    # side, the probe side's 1-2 scan splits flow straight through
+    # UDF -> explode -> join — the ~88M-row band-join emission at sf1.0
+    # ran on two cores (measured 17.5 s; ~4 s spread). No-op at scale.
+    df = spread_degenerate_scan(df)
     # NOT materialized: the banded self-join does evaluate the simhash UDF
     # on both sides, but an interleaved A/B at sf1.0 read none 8.54s /
     # localCheckpoint 8.81s / persist 8.57s (min of 3) — the duplicated

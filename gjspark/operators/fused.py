@@ -220,6 +220,8 @@ def decoded_features(
                 }
             )
 
+    from gjspark.operators.partitioning import spread_degenerate_scan
+
     cols = images.select(
         "image_id",
         F.col(cell_col).alias("cell"),
@@ -230,7 +232,10 @@ def decoded_features(
         "caption",
         "phash",
     )
-    return cols.mapInPandas(run, FEATURES_SCHEMA)
+    # r6: a 1-2-split corpus (e.g. the 50k-image e2e fixture in one
+    # parquet file) would run the whole decode on 1-2 cores; no-op for
+    # real tables and for the bench's pre-repartitioned frames
+    return spread_degenerate_scan(cols).mapInPandas(run, FEATURES_SCHEMA)
 
 
 def rollup_from_features(feat: DataFrame) -> DataFrame:

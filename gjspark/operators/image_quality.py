@@ -74,9 +74,13 @@ def image_quality(images: DataFrame) -> DataFrame:
                 }
             )
 
-    return images.select("image_id", "bytes", "fmt").mapInPandas(
-        run, QUALITY_SCHEMA
-    )
+    from gjspark.operators.partitioning import spread_degenerate_scan
+
+    # r6: spread 1-2-split corpora across the cluster (see partitioning
+    # module docstring); bit-identical output at any partitioning
+    return spread_degenerate_scan(
+        images.select("image_id", "bytes", "fmt")
+    ).mapInPandas(run, QUALITY_SCHEMA)
 
 
 def quality_filter_images(
