@@ -251,6 +251,11 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             return pd.Series(fast)
         return pd.Series([detect_language(t) for t in texts])
 
+    from gjspark.operators.partitioning import spread_degenerate_scan
+
+    # r6: spread 1-2-split corpora before the Python kernel (see the
+    # partitioning module docstring); no-op on real lake tables
+    df = spread_degenerate_scan(df.select(id_col, text_col))
     return df.select(F.col(id_col), _lid(F.col(text_col)).alias("lang_pred"))
 
 
@@ -450,6 +455,10 @@ def winnow_fingerprints(
     def _win(text: pd.Series) -> pd.DataFrame:
         return _winnow_batch(text, k, window)
 
+    from gjspark.operators.partitioning import spread_degenerate_scan
+
+    # r6: spread 1-2-split corpora before the Python kernel
+    df = spread_degenerate_scan(df.select(id_col, text_col))
     out = df.select(F.col(id_col), _win(F.col(text_col)).alias("w"))
     return out.select(
         id_col,
