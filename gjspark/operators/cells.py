@@ -49,6 +49,13 @@ def _cell_struct(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# Pure function, but spatial joins on the cell columns imply isnotnull
+# predicates that filter-pushdown moves below the scan by duplicating the
+# UDF evaluation (guide §4.4; plans/r06/q_pip_after.txt nodes 2+5 pre-fix).
+# Nondeterministic marking pins a single evaluation; results unchanged.
+_cell_struct = _cell_struct.asNondeterministic()
+
+
 def with_cell_columns(
     df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
 ) -> DataFrame:

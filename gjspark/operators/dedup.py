@@ -164,6 +164,14 @@ def _jaccard_sets(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# The function is pure, but filter-pushdown duplicates the evaluation
+# (guide §4.4): `withColumn("jaccard", udf).filter(jaccard >= t)` planned
+# as TWO ArrowEvalPython nodes, each re-shipping both shingle arrays of
+# every candidate pair across the Arrow boundary. Nondeterministic marking
+# forbids the optimizer from copying the expression; results unchanged.
+_jaccard_sets = _jaccard_sets.asNondeterministic()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -334,7 +342,12 @@ def simhash_udf():
             d0 = d1
         return pd.Series(out)
 
-    return _sh
+    # Pure function, but without this the isnotnull(sim) implied by the
+    # band-join keys is pushed below the degenerate-split repartition by
+    # RE-EVALUATING the UDF under it — each join side paid the simhash
+    # kernel twice (plans/r06/q_simhash_pairs_after.txt nodes 3+7/14+18).
+    # Nondeterministic marking keeps one evaluation per side (guide §4.4).
+    return _sh.asNondeterministic()
 
 
 def simhash_pairs(
@@ -484,6 +497,10 @@ def embedding_near_dup(
         den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
         return pd.Series(num / np.maximum(den, 1e-30))
 
+    # asNondeterministic: same §4.4 duplication as _jaccard_sets — the
+    # threshold filter otherwise re-evaluates the cosine UDF (and re-ships
+    # both vectors) a second time. Pure function; results unchanged.
+    _cos = _cos.asNondeterministic()
     return (
         pairs.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
