@@ -62,9 +62,17 @@ def stream_bloom_filter(
     pos_cols = _bloom_pos_cols(value_col, m_bits, k, salt)
     hit = F.lit(True)
     for i, pc in enumerate(pos_cols):
+        # Explicit broadcast: at the default m_bits=1<<20 the position
+        # table's estimated size exceeds autoBroadcastJoinThreshold
+        # (10 MB), silently demoting each of the k stream-static joins to
+        # a per-batch shuffle of the whole stream — the opposite of the
+        # zero-exchange design documented above. The table is bounded at
+        # m_bits longs (8 MB of data at the default), safely broadcastable.
         out = out.withColumn(f"__p{i}", pc).join(
-            bits_d.select(
-                F.col("pos").alias(f"__p{i}"), F.lit(1).alias(f"__s{i}")
+            F.broadcast(
+                bits_d.select(
+                    F.col("pos").alias(f"__p{i}"), F.lit(1).alias(f"__s{i}")
+                )
             ),
             f"__p{i}",
             "left",
