@@ -194,6 +194,13 @@ def ivf_topk(
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
 
+    # asNondeterministic: the list_id equi-join implies isnotnull(list_id),
+    # which filter-pushdown satisfies by RE-EVALUATING the centroid
+    # assignment UDF below the join (guide §4.4, two ArrowEvalPython for
+    # one call). Pure function of the broadcast centroids; results
+    # unchanged, single evaluation.
+    _assign = _assign.asNondeterministic()
+
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def _probes(vec: pd.Series) -> pd.Series:
         c = bc.value

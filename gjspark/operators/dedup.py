@@ -469,6 +469,10 @@ def embedding_near_dup(
         ).sum(axis=2).astype(np.int32)  # (n, bands)
         return pd.Series(list(vals))
 
+    # asNondeterministic: §4.4 — the band join's implied isnotnull(bv)
+    # otherwise duplicates the hyperplane-projection UDF on each side
+    # (4 evaluations total for the self-join). Pure; results unchanged.
+    _band_vals = _band_vals.asNondeterministic()
     banded = (
         df.select(F.col(id_col).alias("id"), _band_vals(F.col(vec_col)).alias("bv"))
         .select("id", F.posexplode("bv").alias("bno", "bval"))
