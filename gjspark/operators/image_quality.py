@@ -89,7 +89,10 @@ def quality_filter_images(
     min_contrast: float = 0.02,
     min_sharpness: float = 0.001,
 ) -> DataFrame:
-    """Keep rows whose metrics clear the given floors (and that decoded)."""
+    """-> METRIC rows (image_id, fmt, metrics) for images whose metrics
+    clear the given floors (and that decoded). Note: returns the metric
+    frame, not the caller's payload columns — semi-join the surviving
+    image_ids back to ``df`` to filter a corpus in place."""
     q = image_quality(df)
     return q.filter(
         F.col("decode_ok")
