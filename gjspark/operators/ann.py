@@ -73,12 +73,14 @@ def brute_force_topk(
         # float64 sims plus its argpartition scratch peaks at hundreds of
         # MB PER WORKER — 32 concurrent workers first-touching ~13 GB
         # measured as a 15-50 s kernel-side allocation storm (489 CPU-s
-        # for a 25 CPU-s matmul) on a memory-pressured box. ~8M sims
-        # elements (~400 rows at a 20k index) per slice keeps the
-        # transient under ~130 MB/worker with BLAS still saturated;
-        # per-row results are unchanged (measured: first-run 15.9 -> 5.1 s,
-        # steady 1.0-1.3 s).
-        chunk = max(1, 8_000_000 // max(len(iids), 1))
+        # for a 25 CPU-s matmul) on a memory-pressured box. 2M sims
+        # elements (~100 rows at a 20k index) per slice keeps the
+        # transient ~32 MB/worker with BLAS still saturated; per-row
+        # results are unchanged. Alternated fresh-session A/B at 20k x
+        # 20k x 64: first-run 6.9-7.6 s (8M slab) -> 4.9-5.3 s (2M),
+        # steady identical 1.2-1.6 s either way — the smaller slab only
+        # shrinks the first-touch storm.
+        chunk = max(1, 2_000_000 // max(len(iids), 1))
         for pdf in batches:
             if not len(pdf):
                 continue
